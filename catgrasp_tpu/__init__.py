@@ -1,0 +1,33 @@
+"""catgrasp_tpu — TPU-native category-level task-relevant grasping framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of CaTGrasp
+(wenbowen123/catgrasp): batched rigid-body simulation, SDF-based collision
+and grasp filtering, synthetic data generation with on-device rendering,
+and the three perception networks (instance segmentation, NUNOCS, grasp
+quality) with pjit data-parallel training.
+
+Layer map (bottom -> top), mirroring SURVEY.md §7:
+    core/      transforms, symmetry groups, camera models, sphere sampling
+    geom/      meshes, procedural assets, the SDF engine
+    kin/       iiwa14 FK + analytic IK, motion planning
+    sim/       vmapped rigid-body contact engine + env APIs
+    render/    batched SDF-raymarch depth/seg/NOCS renderer
+    grasp/     gripper model, samplers, pose filter, quality eval
+    nn/        PointNet heads, voxel U-Net, losses, clustering
+    data/      dataset generation + readers
+    train/     pjit trainers, checkpointing
+    predict/   inference wrappers (incl. RANSAC 9D pose fit)
+    pipelines/ CLI entry points matching the reference scripts
+    parallel/  device mesh / sharding helpers
+    native/    C++ runtime components (SDF bake, IO)
+"""
+
+import jax as _jax
+
+# Geometry/physics live on chains of small (3x3 / 4x4) matmuls where bf16
+# MXU accumulation visibly corrupts poses; make float32 the framework-wide
+# default. NN hot paths opt into bf16 explicitly via dtype arguments.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
+__version__ = "0.1.0"
+
