@@ -1,0 +1,215 @@
+"""Floating-gripper grasp verification — vmapped ``EnvGrasp``.
+
+Reimplements the reference's physics grasp scoring protocol
+(``pybullet_env/env_grasp.py:87-119``) as one pure jitted rollout:
+
+  verify:   open fingers, object at identity, gripper at the grasp pose;
+            reject on open-gripper collision; close fingers force-limited
+            for 50 steps; apply gravity for 50 steps; success iff the object
+            moved ≤ 2 cm.
+  score:    perturbation robustness = mean verify success over `trials`
+            random (≤5 mm, ≤10°) grasp-pose perturbations
+            (``compute_perturbation_score``, ``env_grasp.py:111-119``).
+
+Where the reference fans grasps across CPU processes with one PyBullet
+instance each (``generate_grasp.py:104-119``), here a single device vmaps
+(grasps × trials) rollouts, and `shard_map` spreads them over chips.
+
+The gripper lives in the GRASP frame: +x approach, ±y closing
+(``dexnet/grasping/gripper.py:52-53``); fingers are analytic kinematic
+boxes driven by a penetration-capped closing law (force-limited position
+control like the reference's POSITION_CONTROL with max force,
+``env_grasp.py:127-131``).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import transforms as tf
+from ..geom import sdf as sdflib
+from . import engine
+from .types import SceneParams, SceneState, ShapeLib
+
+N_CLOSE_STEPS = 50
+N_SHAKE_STEPS = 50
+SUCCESS_DISP = 0.02  # meters (env_grasp.py:103)
+SHAKE_GRAVITY = -10.0  # (env_grasp.py:98)
+
+
+@dataclass(frozen=True)
+class GripperSpec:
+    """Parallel-jaw geometry in the grasp frame (static hyperparams)."""
+
+    max_width: float = 0.05
+    finger_len: float = 0.045
+    finger_thickness: float = 0.012
+    finger_depth: float = 0.02
+    palm_depth: float = 0.03
+    max_force: float = 100.0
+    close_speed: float = 0.3  # m/s of opening decrease
+    max_squeeze_pen: float = 0.0012  # force-limit proxy: max allowed penetration
+
+    @property
+    def hand_depth(self):
+        return self.finger_len
+
+    @property
+    def init_bite(self):
+        return -0.005
+
+
+def finger_boxes(width: jnp.ndarray, spec: GripperSpec):
+    """Centers/halves (grasp frame) of [finger+, finger-, palm] boxes for a
+    given opening ``width`` (distance between finger inner faces)."""
+    t = spec.finger_thickness
+    cy = width / 2 + t / 2
+    centers = jnp.stack(
+        [
+            jnp.stack([jnp.full_like(width, spec.finger_len / 2), cy, jnp.zeros_like(width)], -1),
+            jnp.stack([jnp.full_like(width, spec.finger_len / 2), -cy, jnp.zeros_like(width)], -1),
+            jnp.stack([jnp.full_like(width, -spec.palm_depth / 2), jnp.zeros_like(width), jnp.zeros_like(width)], -1),
+        ],
+        axis=-2,
+    )  # (..., 3 boxes, 3)
+    halves = jnp.asarray(
+        [
+            [spec.finger_len / 2, t / 2, spec.finger_depth / 2],
+            [spec.finger_len / 2, t / 2, spec.finger_depth / 2],
+            [spec.palm_depth / 2, spec.max_width / 2 + t + 0.01, spec.finger_depth / 2 + 0.01],
+        ]
+    )
+    return centers, jnp.broadcast_to(halves, centers.shape)
+
+
+def gripper_env(T_grasp: jnp.ndarray, width: jnp.ndarray, finger_vel: jnp.ndarray,
+                spec: GripperSpec, friction: float = 0.9) -> engine.StaticEnv:
+    """Gripper as 3 kinematic world-frame boxes (finger+, finger-, palm)."""
+    centers_g, halves = finger_boxes(width, spec)
+    R = T_grasp[:3, :3]
+    centers_w = centers_g @ R.T + T_grasp[:3, 3]
+    q = tf.matrix_to_quat(R)
+    quats = jnp.broadcast_to(q, (3, 4))
+    # closing velocity: finger+ moves -y_grasp, finger- moves +y_grasp
+    ydir = R[:, 1]
+    vel = jnp.stack([-ydir * finger_vel / 2, ydir * finger_vel / 2, jnp.zeros(3)])
+    return engine.StaticEnv(
+        center=centers_w,
+        half=halves,
+        quat=quats,
+        vel=vel,
+        friction=jnp.full((3,), friction),
+        enabled=jnp.ones((3,), bool),
+    )
+
+
+def _object_pen_in_fingers(obj_pts_grasp: jnp.ndarray, width: jnp.ndarray, spec: GripperSpec):
+    """Max penetration of object points (in grasp frame) into the finger
+    boxes at a given opening — the force-limit signal for the closing law."""
+    centers, halves = finger_boxes(width, spec)
+    rel = obj_pts_grasp[:, None, :] - centers[None, :2, :]
+    d, _ = engine.box_sdf_and_normal(rel, halves[None, :2, :])
+    return jnp.maximum(-jnp.min(d), 0.0)
+
+
+def open_gripper_collision(obj_pts_grasp: jnp.ndarray, spec: GripperSpec) -> jnp.ndarray:
+    """Open-gripper collision test (reference: ``PU.body_collision`` at
+    ``env_grasp.py:91``): any object point inside any gripper box at full
+    opening."""
+    centers, halves = finger_boxes(jnp.asarray(spec.max_width), spec)
+    rel = obj_pts_grasp[:, None, :] - centers[None]
+    d, _ = engine.box_sdf_and_normal(rel, halves[None])
+    return jnp.any(d < 0.0)
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def verify_grasp(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
+                 grasp_in_ob: jnp.ndarray, spec: GripperSpec = GripperSpec(),
+                 friction: float = 0.9) -> jnp.ndarray:
+    """One grasp verification rollout -> success (bool scalar).
+
+    Mirrors ``EnvGrasp.verify_grasp`` (``env_grasp.py:87-108``): object at
+    identity so ``grasp_in_world == grasp_in_ob``.
+    vmap over leading axes of (shape_id, scale, grasp_in_ob) for batches.
+    """
+    params = SceneParams.create(lib, shape_id[None], scale[None], friction=friction)
+    state = SceneState.create(1).replace(active=jnp.array([True]))
+
+    T_grasp = grasp_in_ob  # object at identity
+    T_inv = tf.pose_inverse(T_grasp)
+
+    obj_pts0 = lib.surf_pts[shape_id] * scale  # object frame == world at t0
+    pts_grasp0 = tf.transform_points(T_inv, obj_pts0)
+    collided = open_gripper_collision(pts_grasp0, spec)
+
+    dt = engine.DT
+    w0 = jnp.asarray(spec.max_width)
+
+    def step_fn(carry, i):
+        st, w = carry
+        closing = i < N_CLOSE_STEPS
+        gravity_on = i >= N_CLOSE_STEPS
+
+        # force-limited closing: advance only while squeeze penetration is
+        # below the cap (max_force proxy)
+        R = tf.quat_to_matrix(st.quat[0])
+        pts_w = st.pos[0] + lib.surf_pts[shape_id] * scale @ R.T
+        pts_g = tf.transform_points(T_inv, pts_w)
+        pen = _object_pen_in_fingers(pts_g, w, spec)
+        dv_allow = jnp.maximum(spec.max_squeeze_pen - pen, 0.0) * 2.0
+        dv = jnp.where(closing, jnp.minimum(spec.close_speed * dt, dv_allow), 0.0)
+        w_new = jnp.maximum(w - dv, 0.0)
+
+        env = gripper_env(T_grasp, w_new, dv / dt, spec, friction)
+        g = jnp.where(gravity_on, SHAKE_GRAVITY, 0.0)
+        st = engine.step(st, params, lib, env, dt=dt, gravity=g)
+        return (st, w_new), None
+
+    (final, _), _ = jax.lax.scan(step_fn, (state, w0), jnp.arange(N_CLOSE_STEPS + N_SHAKE_STEPS))
+    disp = jnp.linalg.norm(final.pos[0])
+    return (~collided) & (disp <= SUCCESS_DISP)
+
+
+verify_grasp_batch = jax.jit(
+    jax.vmap(verify_grasp, in_axes=(None, None, None, 0, None, None)),
+    static_argnames=("spec",),
+)
+
+
+@partial(jax.jit, static_argnames=("trials", "spec"))
+def perturbation_scores(key: jax.Array, lib: ShapeLib, shape_id: jnp.ndarray,
+                        scale: jnp.ndarray, grasp_poses: jnp.ndarray,
+                        trials: int = 50, spec: GripperSpec = GripperSpec(),
+                        friction: float = 0.9) -> jnp.ndarray:
+    """Perturbation-robustness score per grasp: (G, 4, 4) -> (G,) in [0,1].
+
+    Protocol of ``compute_perturbation_score`` (``env_grasp.py:111-119``):
+    ``trials`` random uniform perturbations of ≤5 mm / ≤10°, score =
+    success fraction.  Runs G*trials full rollouts in one vmapped program.
+    """
+    G = grasp_poses.shape[0]
+    offsets = tf.random_uniform_magnitude(key, max_t=0.005, max_r_deg=10.0, shape=(G, trials))
+    perturbed = jnp.einsum("gij,gtjk->gtik", grasp_poses, offsets)
+
+    def one(T):
+        return verify_grasp(lib, shape_id, scale, T, spec, friction)
+
+    succ = jax.vmap(jax.vmap(one))(perturbed)
+    return jnp.mean(succ.astype(jnp.float32), axis=-1)
+
+
+def finger_contact_points(obj_pts_grasp: jnp.ndarray, width: jnp.ndarray,
+                          spec: GripperSpec, surface_tol: float = 0.002):
+    """Mask of object points (grasp frame) in contact with either finger's
+    inner face — the contact-area extraction used for affordance labeling
+    (``env_grasp.py:135-160``, ``get_finger_contact_area:243-283``).
+    Returns (mask_pos_finger, mask_neg_finger) boolean masks."""
+    x, y, z = obj_pts_grasp[:, 0], obj_pts_grasp[:, 1], obj_pts_grasp[:, 2]
+    within = (x >= 0.0) & (x <= spec.finger_len) & (jnp.abs(z) <= spec.finger_depth / 2)
+    near_pos = jnp.abs(y - width / 2) <= surface_tol
+    near_neg = jnp.abs(y + width / 2) <= surface_tol
+    return within & near_pos, within & near_neg
