@@ -28,7 +28,6 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..core import transforms as tf
-from ..geom import sdf as sdflib
 from .types import SceneParams, SceneState, ShapeLib
 
 DT = 1.0 / 240.0
@@ -112,7 +111,13 @@ def _body_surface_points(state: SceneState, params: SceneParams, lib: ShapeLib):
 
 
 def _sdf_vs_bodies(w_pts, state, params, lib):
-    """φ and world normal of every point vs every body: (N,P,NB), (N,P,NB,3)."""
+    """φ and world normal of every point vs every body: (N,P,NB), (N,P,NB,3).
+
+    Analytic CSG evaluation (geom.csg) — pure VPU arithmetic, no gathers:
+    the design decision that makes the solver scale on TPU (grid-SDF gathers
+    serialize into dynamic-slice loops in XLA)."""
+    from ..geom import csg as csglib
+
     R = tf.quat_to_matrix(state.quat)
     # local coords of all points in all body frames: (N,P,NB,3)
     rel = w_pts[:, :, None, :] - state.pos[None, None, :, :]
@@ -120,8 +125,8 @@ def _sdf_vs_bodies(w_pts, state, params, lib):
 
     def q_one(shape_id, scale, pts):
         # pts (N,P,3) in this body's local unit frame
-        phi = sdflib.query_shapes(lib.sdf_values, lib.sdf_lower, lib.sdf_spacing, shape_id, pts)
-        n = sdflib.grad(lib.sdf_values[shape_id], lib.sdf_lower[shape_id], lib.sdf_spacing[shape_id], pts)
+        shape = csglib.select_shape(lib.csg, shape_id)
+        phi, n = csglib.csg_sdf_and_normal(shape, pts)
         return phi * scale, n
 
     phi, n_loc = jax.vmap(q_one, in_axes=(0, 0, 2), out_axes=(2, 2))(params.shape_id, params.scale, loc)

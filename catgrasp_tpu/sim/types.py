@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from ..geom import csg as csglib
 from ..geom import sdf as sdflib
 from ..geom.mesh import TriMesh
 
@@ -19,34 +20,46 @@ DENSITY = 7800.0  # steel-ish; reference objects are industrial metal parts
 
 @struct.dataclass
 class ShapeLib:
-    """Library of K baked shapes (unit scale).  All SDF grids share dims so
-    they stack; per-body uniform scale is applied at query time via
-    φ_s(x) = s·φ(x/s)."""
+    """Library of K shapes (unit scale).  The contact engine evaluates
+    geometry through the stacked analytic CSG trees (gather-free on TPU);
+    optional baked SDF grids serve mesh-only workflows and validation.
+    Per-body uniform scale applies at query time via φ_s(x) = s·φ(x/s)."""
 
-    sdf_values: jnp.ndarray  # (K, D, D, D)
-    sdf_lower: jnp.ndarray  # (K, 3)
-    sdf_spacing: jnp.ndarray  # (K,)
+    csg: csglib.CsgShape  # stacked, leading K axis
     surf_pts: jnp.ndarray  # (K, P, 3) contact sample points, body frame
     surf_normals: jnp.ndarray  # (K, P, 3)
     volume: jnp.ndarray  # (K,)
     inertia_unit: jnp.ndarray  # (K, 3) diagonal inertia at unit scale, unit density
     radius: jnp.ndarray  # (K,) bounding radius (broadphase)
+    sdf_values: jnp.ndarray | None = None  # (K, D, D, D) optional grids
+    sdf_lower: jnp.ndarray | None = None  # (K, 3)
+    sdf_spacing: jnp.ndarray | None = None  # (K,)
 
     @property
     def num_shapes(self):
-        return self.sdf_values.shape[0]
+        return self.surf_pts.shape[0]
 
 
-def build_shape_lib(meshes: list[TriMesh], dims: int = 40, n_surf: int = 64,
-                    padding: float = 0.003, seed: int = 0) -> ShapeLib:
-    """Bake meshes into a ShapeLib (runs once at setup, on device)."""
+def build_shape_lib(meshes: list[TriMesh], csg_shapes: list[csglib.CsgShape] | None = None,
+                    dims: int = 40, n_surf: int = 64, padding: float = 0.003,
+                    seed: int = 0, bake_grids: bool = False) -> ShapeLib:
+    """Build a ShapeLib from meshes (+ matching CSG trees).
+
+    If ``csg_shapes`` is None, CSG trees are auto-fit as the bounding box of
+    each mesh (coarse but engine-compatible for arbitrary assets)."""
     rng = np.random.default_rng(seed)
     values, lowers, spacings, pts, nrm, vols, inert, rad = [], [], [], [], [], [], [], []
+    if csg_shapes is None:
+        csg_shapes = []
+        for m in meshes:
+            b = m.bounds
+            csg_shapes.append(csglib.csg_box(b[1] - b[0], center=(b[1] + b[0]) / 2))
     for m in meshes:
-        g = sdflib.bake_sdf(m.vertices, m.faces, dims=dims, padding=padding)
-        values.append(g.values)
-        lowers.append(g.lower)
-        spacings.append(g.spacing)
+        if bake_grids:
+            g = sdflib.bake_sdf(m.vertices, m.faces, dims=dims, padding=padding)
+            values.append(g.values)
+            lowers.append(g.lower)
+            spacings.append(g.spacing)
         p, n = m.sample_surface(n_surf, rng, return_normals=True)
         pts.append(p)
         nrm.append(n)
@@ -64,14 +77,15 @@ def build_shape_lib(meshes: list[TriMesh], dims: int = 40, n_surf: int = 64,
         inert.append(I)
         rad.append(float(np.linalg.norm(m.vertices, axis=1).max()))
     return ShapeLib(
-        sdf_values=jnp.stack(values),
-        sdf_lower=jnp.stack(lowers),
-        sdf_spacing=jnp.stack(spacings),
+        csg=csglib.stack_shapes(csg_shapes),
         surf_pts=jnp.asarray(np.stack(pts)),
         surf_normals=jnp.asarray(np.stack(nrm)),
         volume=jnp.asarray(np.array(vols, dtype=np.float32)),
         inertia_unit=jnp.asarray(np.stack(inert).astype(np.float32)),
         radius=jnp.asarray(np.array(rad, dtype=np.float32)),
+        sdf_values=jnp.stack(values) if bake_grids else None,
+        sdf_lower=jnp.stack(lowers) if bake_grids else None,
+        sdf_spacing=jnp.stack(spacings) if bake_grids else None,
     )
 
 

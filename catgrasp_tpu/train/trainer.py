@@ -1,0 +1,161 @@
+"""pjit data-parallel trainer.
+
+Replaces the reference's three identical torch trainers
+(``trainer_grasp.py`` / ``trainer_nunocs.py`` / ``trainer_pointgroup.py``):
+Adam (or SGD), lr = start_lr/64 × batch_size, MultiStepLR decay ×0.1 at
+milestones, per-epoch train/val loops, best-train/best-val checkpointing.
+
+The reference's ``nn.DataParallel`` becomes sharding constraints: params
+replicated, batch sharded over the ``dp`` mesh axis; XLA inserts the psum
+gradient reduction over ICI.  Checkpoints are orbax-style msgpack pytrees
+(flax serialization) carrying params + opt state + epoch, which — unlike
+the reference (``SURVEY.md §5``) — makes training resumable.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+from flax.training import train_state
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import make_mesh
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def multistep_lr(start_lr: float, batch_size: int, milestones: list[int],
+                 steps_per_epoch: int, gamma: float = 0.1):
+    """lr = start_lr/64*batch, ×gamma at each milestone epoch
+    (``trainer_grasp.py:36-42``)."""
+    base = start_lr / 64.0 * batch_size
+    bounds = {m * steps_per_epoch: gamma for m in milestones}
+    return optax.piecewise_constant_schedule(base, bounds)
+
+
+def make_optimizer(cfg: dict, steps_per_epoch: int):
+    sched = multistep_lr(cfg.get("start_lr", 0.01), cfg.get("batch_size", 32),
+                         cfg.get("lr_milestones", []), steps_per_epoch)
+    wd = cfg.get("weight_decay", 0.0)
+    if cfg.get("optimizer_type", "adam") == "adam":
+        return optax.chain(optax.add_decayed_weights(wd), optax.adam(sched))
+    return optax.sgd(sched, momentum=0.9)
+
+
+def create_state(model, cfg: dict, example_input: jnp.ndarray,
+                 steps_per_epoch: int = 100, rng=None) -> TrainState:
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.get("random_seed", 0))
+    variables = model.init(rng, example_input)
+    return TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        tx=make_optimizer(cfg, steps_per_epoch),
+    )
+
+
+def make_train_step(loss_fn: Callable, mesh=None, donate: bool = True):
+    """Build a jitted (optionally mesh-sharded) train step.
+
+    ``loss_fn(params, apply_fn, batch, rng) -> (loss, aux)``.
+    With a mesh, params/opt-state are replicated and the batch is sharded
+    over ``dp``; XLA turns the gradient sum into an ICI all-reduce.
+    """
+
+    def step(state: TrainState, batch, rng):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.apply_fn, batch, rng
+        )
+        return state.apply_gradients(grads=grads), loss, aux
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("dp"))
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+@dataclass
+class Trainer:
+    """Generic epoch-loop trainer (skeleton shared by all three nets,
+    mirroring ``trainer_grasp.py:44-115``)."""
+
+    model: Any
+    cfg: dict
+    loss_fn: Callable
+    train_data: Callable  # () -> iterator of batches (host numpy pytrees)
+    val_data: Callable | None = None
+    mesh: Any = None
+    ckpt_dir: str = "artifacts"
+    best_train: float = field(default=float("inf"))
+    best_val: float = field(default=float("inf"))
+
+    def fit(self, state: TrainState, n_epochs: int | None = None,
+            log_every: int = 50, verbose: bool = True) -> TrainState:
+        n_epochs = n_epochs or self.cfg.get("n_epochs", 1)
+        step_fn = make_train_step(self.loss_fn, self.mesh)
+        rng = jax.random.PRNGKey(self.cfg.get("random_seed", 0))
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        for epoch in range(n_epochs):
+            losses = []
+            for i, batch in enumerate(self.train_data()):
+                rng, sub = jax.random.split(rng)
+                batch = jax.tree.map(jnp.asarray, batch)
+                state, loss, _ = step_fn(state, batch, sub)
+                losses.append(float(loss))
+                if verbose and i % log_every == 0:
+                    print(f"epoch {epoch} it {i} loss {losses[-1]:.4f}")
+            train_loss = float(np.mean(losses)) if losses else float("inf")
+            if train_loss < self.best_train:
+                self.best_train = train_loss
+                save_checkpoint(f"{self.ckpt_dir}/best_train.ckpt", state, epoch)
+            if self.val_data is not None:
+                val_loss = self.evaluate(state)
+                if val_loss < self.best_val:
+                    self.best_val = val_loss
+                    save_checkpoint(f"{self.ckpt_dir}/best_val.ckpt", state, epoch)
+                if verbose:
+                    print(f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f}")
+        return state
+
+    def evaluate(self, state: TrainState) -> float:
+        losses = []
+        for batch in self.val_data():
+            batch = jax.tree.map(jnp.asarray, batch)
+            loss, _ = self.loss_fn(state.params, state.apply_fn, batch, jax.random.PRNGKey(0))
+            losses.append(float(loss))
+        return float(np.mean(losses)) if losses else float("inf")
+
+
+def save_checkpoint(path: str, state: TrainState, epoch: int) -> None:
+    blob = {
+        "params": serialization.to_bytes(state.params),
+        "opt_state": serialization.to_bytes(state.opt_state),
+        "step": int(state.step),
+        "epoch": epoch,
+    }
+    with open(path, "wb") as f:
+        pickle.dump(blob, f)
+
+
+def load_checkpoint(path: str, state: TrainState) -> tuple[TrainState, int]:
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    params = serialization.from_bytes(state.params, blob["params"])
+    opt_state = serialization.from_bytes(state.opt_state, blob["opt_state"])
+    state = state.replace(params=params, opt_state=opt_state, step=blob["step"])
+    return state, blob["epoch"]

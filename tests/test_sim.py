@@ -10,10 +10,15 @@ from catgrasp_tpu.sim import env_grasp as eg
 from catgrasp_tpu.sim.types import SceneParams, SceneState, build_shape_lib
 
 
+from catgrasp_tpu.geom import csg as csglib
+
+
 @pytest.fixture(scope="module")
 def lib():
     return build_shape_lib(
-        [prim.box((0.03, 0.03, 0.03)), prim.hex_nut()], dims=32, n_surf=48
+        [prim.box((0.03, 0.03, 0.03)), prim.hex_nut()],
+        [csglib.csg_box((0.03, 0.03, 0.03)), csglib.csg_hex_nut()],
+        n_surf=48,
     )
 
 
