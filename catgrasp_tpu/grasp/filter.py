@@ -1,0 +1,143 @@
+"""Batched grasp-pose filter — the TPU ``filterGraspPose``.
+
+The reference's hottest CPU loop (``my_cpp/common.cpp:156-321``) runs, per
+candidate pose x symmetry: approach-direction gate, ikfast gate, FCL
+open-gripper-vs-octree collision, closed-gripper-swept-volume collision,
+with a ±1–3 mm lateral "adjust_collision_pose" search — OpenMP over poses.
+
+TPU redesign: flip the collision direction.  Instead of a gripper *mesh*
+against a point-cloud *octree*, transform the cloud into each candidate's
+grasp frame (one big batched matmul on the MXU) and test the points against
+the gripper's *analytic boxes* (VPU) — no trees, no gathers, no
+variable-size anything.  The ±y lateral adjust is evaluated for all 7
+offsets in the same tensor op (only the y-interval test depends on the
+offset), picking the first collision-free one in the reference's search
+order (0, +1, -1, +2, -2, +3, -3 mm; ``common.cpp:253-287``).
+
+All stages produce masks over a fixed (G*S) candidate axis; callers
+compact on host.  Rejection counters match the reference's verbose output
+(``common.cpp:316-319``) for parity testing.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import transforms as tf
+from ..kin import iiwa
+from ..sim.env_grasp import GripperSpec, finger_boxes
+
+ADJUST_OFFSETS = np.array([0.0, 1e-3, -1e-3, 2e-3, -2e-3, 3e-3, -3e-3], dtype=np.float32)
+
+
+def _hits_per_offset(pts: jnp.ndarray, centers: jnp.ndarray, halves: jnp.ndarray,
+                     mask: jnp.ndarray, offsets: jnp.ndarray, margin: float) -> jnp.ndarray:
+    """For each lateral grasp offset a: does ANY masked point fall inside any
+    box when the gripper is shifted by offsets[a] along +y?  -> (A,) bool.
+
+    pts (C,3) in grasp frame; centers/halves (K,3).  Only the y test depends
+    on the offset, so the xz mask is computed once.
+    """
+    rel = pts[:, None, :] - centers  # (C,K,3)
+    q_x = jnp.abs(rel[..., 0]) - halves[:, 0]
+    q_z = jnp.abs(rel[..., 2]) - halves[:, 2]
+    ok_xz = (q_x < margin) & (q_z < margin) & mask[:, None]  # (C,K)
+    y = rel[..., 1]  # (C,K)
+    # gripper shifted +off ⇒ point relative y decreases by off
+    q_y = jnp.abs(y[..., None] - offsets) - halves[:, 1, None]  # (C,K,A)
+    hit = ok_xz[..., None] & (q_y < margin)
+    return jnp.any(hit, axis=(0, 1))  # (A,)
+
+
+@partial(jax.jit, static_argnames=("spec", "filter_approach", "filter_ik", "adjust", "n_psi", "chunk"))
+def filter_grasp_poses(
+    grasp_poses: jnp.ndarray,  # (G, 4, 4) in canonical frame
+    symmetry_tfs: jnp.ndarray,  # (S, 4, 4)
+    nocs_pose: jnp.ndarray,  # (4, 4) canonical->camera (may carry scale)
+    cam_in_world: jnp.ndarray,  # (4, 4)
+    ee_in_grasp: jnp.ndarray,  # (4, 4)
+    collision_cloud: jnp.ndarray,  # (C1, 3) cam frame — open-gripper test
+    background_cloud: jnp.ndarray,  # (C2, 3) cam frame — enclosed-volume test
+    collision_mask: jnp.ndarray,  # (C1,) bool valid points
+    background_mask: jnp.ndarray,  # (C2,) bool
+    spec: GripperSpec = GripperSpec(),
+    filter_approach: bool = True,
+    filter_ik: bool = True,
+    adjust: bool = True,
+    margin: float = 5e-4,  # octree-resolution analog (grasp_sampler.py:213)
+    n_psi: int = 16,
+    chunk: int = 64,
+):
+    """Returns (poses_out (G*S, 4, 4) in CAMERA frame, valid (G*S,), stats).
+
+    Candidate layout: grasp-major, symmetry-minor — matching the reference's
+    nested loop (``common.cpp:185-191``).
+    """
+    G = grasp_poses.shape[0]
+    S = symmetry_tfs.shape[0]
+
+    # --- symmetry expansion + frame normalization --------------------------
+    T = jnp.einsum("sij,gjk->gsik", symmetry_tfs, grasp_poses)
+    T = jnp.einsum("ij,gsjk->gsik", nocs_pose, T).reshape(G * S, 4, 4)
+    # normalize rotation columns (nocs_pose may carry per-axis scale;
+    # common.cpp:194-197)
+    R = T[:, :3, :3]
+    R = R / (jnp.linalg.norm(R, axis=1, keepdims=True) + 1e-12)
+    T = T.at[:, :3, :3].set(R)
+
+    valid = jnp.ones((G * S,), bool)
+    stats = {}
+
+    # --- approach direction faces camera (+z in cam frame) -----------------
+    if filter_approach:
+        approach_ok = T[:, 2, 0] >= 0.0  # z-component of approach column
+        stats["n_approach_dir_rej"] = jnp.sum(valid & ~approach_ok)
+        valid &= approach_ok
+    else:
+        stats["n_approach_dir_rej"] = jnp.zeros((), jnp.int32)
+
+    # --- IK feasibility -----------------------------------------------------
+    if filter_ik:
+        ee_in_base = jnp.einsum("ij,njk,kl->nil", cam_in_world, T, ee_in_grasp)
+        feas = iiwa.ik_feasible(ee_in_base, n_psi)
+        stats["n_ik_rej"] = jnp.sum(valid & ~feas)
+        valid &= feas
+    else:
+        stats["n_ik_rej"] = jnp.zeros((), jnp.int32)
+
+    # --- collision: clouds in grasp frame vs analytic gripper boxes --------
+    open_centers, open_halves = finger_boxes(jnp.asarray(spec.max_width), spec)
+    enc_center = jnp.array([[spec.finger_len / 2, 0.0, 0.0]])
+    enc_half = jnp.array([[spec.finger_len / 2,
+                           spec.max_width / 2 + spec.finger_thickness,
+                           spec.finger_depth / 2]])
+    offsets = jnp.asarray(ADJUST_OFFSETS if adjust else ADJUST_OFFSETS[:1])
+
+    def collide_one(T_i):
+        T_inv = tf.pose_inverse(T_i)
+        pts_c = tf.transform_points(T_inv, collision_cloud)
+        pts_b = tf.transform_points(T_inv, background_cloud)
+        hit_open = _hits_per_offset(pts_c, open_centers, open_halves,
+                                    collision_mask, offsets, margin)
+        hit_enc = _hits_per_offset(pts_b, enc_center, enc_half,
+                                   background_mask, offsets, margin)
+        return ~(hit_open | hit_enc)  # (A,) free per offset
+
+    free = jax.lax.map(collide_one, T, batch_size=chunk)  # (GS, A)
+    any_free = jnp.any(free, axis=-1)
+    first = jnp.argmax(free, axis=-1)  # first free offset in search order
+    dy = offsets[first]
+    shift = T[:, :3, 1] * dy[:, None]
+    T = T.at[:, :3, 3].add(jnp.where(any_free[:, None], shift, 0.0))
+    stats["n_collision_rej"] = jnp.sum(valid & ~any_free)
+    valid &= any_free
+
+    return T, valid, stats
+
+
+def compact_valid(poses: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Host-side compaction of the masked candidate set."""
+    return np.asarray(poses)[np.asarray(valid)]
