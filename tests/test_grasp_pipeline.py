@@ -91,12 +91,13 @@ def test_filter_lateral_adjust(gripper):
     p_grasp = np.array([0.01, 0.0253, 0.0], np.float32)
     p_world = (T[:3, :3] @ p_grasp) + T[:3, 3]
     cloud = p_world[None].astype(np.float32)
+    far = np.full((1, 3), 999.0, np.float32)  # enclosed volume vs background
 
     poses = jnp.asarray(T)[None]
     out, valid, _ = filter_grasp_poses(
         poses, jnp.eye(4)[None], jnp.eye(4), jnp.eye(4),
         jnp.asarray(gripper.ee_in_grasp),
-        jnp.asarray(cloud), jnp.asarray(cloud),
+        jnp.asarray(cloud), jnp.asarray(far),
         jnp.ones(1, bool), jnp.ones(1, bool),
         spec=spec, filter_ik=False, margin=1e-4,
     )
