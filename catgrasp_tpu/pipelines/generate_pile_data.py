@@ -1,0 +1,119 @@
+"""Synthetic pile dataset generation — TPU ``generate_pile_data.py`` +
+the label passes of ``tool.py`` folded into the same device program.
+
+Per scene (reference flow, ``generate_pile_data.py:17-50`` +
+``env.generate_one``, ``env.py:391-436``): drop a random pile, settle,
+jitter the camera keeping the bin in frame, render, save.  The reference
+then runs six sequential label passes over the images (``tool.py:421-439``);
+our renderer already emits NUNOCS / normals / xyz / visibility in the same
+pass, so one program produces fully-labeled samples.
+
+Output: one .npz per scene with
+  depth (H,W) f32 m     seg (H,W) i32 (body idx, -2 env, -1 bg)
+  nocs (H,W,3) f32      normal (H,W,3) f32       xyz (H,W,3) f32 cam frame
+  ob_in_world (N,4,4)   scales (N,)   shape_id (N,)   active (N,)
+  vis_ratio (N,)        K (3,3)       cam_in_world (4,4)   class_name
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.loader import load_config
+from ..core import transforms as tf
+from ..geom import csg as csglib
+from ..geom import primitives as prim
+from ..render import raymarch
+from ..sim import engine, env_pile
+from ..sim.types import build_shape_lib
+
+
+def category_lib(class_name: str, split: str, n_surf: int = 48):
+    n = prim.num_instances(class_name, split)
+    meshes = [prim.make_instance(class_name, split, i) for i in range(n)]
+    csgs = [csglib.make_csg_instance(class_name, split, i) for i in range(n)]
+    return build_shape_lib(meshes, csgs, n_surf=n_surf)
+
+
+def random_camera(key, base_height: float = 0.6, jitter: float = 0.05):
+    """Top-down camera with small pose jitter keeping the bin in frame
+    (``generate_pile_data.py:34-41``)."""
+    k1, k2 = jax.random.split(key)
+    look_down = jnp.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+    dxy = jax.random.uniform(k1, (2,), minval=-jitter, maxval=jitter)
+    dz = jax.random.uniform(k2, (), minval=-jitter, maxval=jitter)
+    cam = jnp.eye(4)
+    cam = cam.at[:3, :3].set(look_down)
+    cam = cam.at[:2, 3].set(dxy)
+    cam = cam.at[2, 3].set(base_height + dz)
+    return cam
+
+
+def generate_scenes(class_name: str, split: str, n_scenes: int, out_dir: str,
+                    cfg: dict | None = None, seed: int = 0,
+                    settle_steps: int = 400, batch: int = 16):
+    cfg = cfg or load_config("config.yml")
+    H = int(cfg["H"] * cfg.get("render_downscale", 0.25))
+    W = int(cfg["W"] * cfg.get("render_downscale", 0.25))
+    K = np.array(cfg["K"], np.float32).reshape(3, 3).copy()
+    K[:2] *= cfg.get("render_downscale", 0.25)
+    Kj = jnp.asarray(K)
+
+    lib = category_lib(class_name, split)
+    pile_cfg = env_pile.PileConfig(
+        max_bodies=int(cfg["dataset"]["num_pile_objects"][1]),
+        scale_range=tuple(cfg["dataset"]["object_scales"]),
+    )
+    env = engine.StaticEnv.open_bin(pile_cfg.bin_inner)
+    os.makedirs(out_dir, exist_ok=True)
+
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def make_batch(k):
+        ks = jax.random.split(k, batch + 1)
+        states, params = jax.vmap(lambda kk: env_pile.reset(kk, lib, pile_cfg))(ks[:batch])
+        states = jax.vmap(lambda s, p: env_pile.settle_fixed(s, p, lib, env, pile_cfg, settle_steps))(states, params)
+        cams = jax.vmap(random_camera)(jax.random.split(ks[batch], batch))
+        outs = jax.vmap(lambda s, p, c: raymarch.render(lib, s, p, Kj, c, H, W, env=env))(states, params, cams)
+        vis = jax.vmap(lambda s, p, c: raymarch.visibility_ratio(lib, s, p, Kj, c, H, W))(states, params, cams)
+        return states, params, cams, outs, vis
+
+    scene_id = 0
+    while scene_id < n_scenes:
+        key, sub = jax.random.split(key)
+        states, params, cams, outs, vis = jax.tree.map(np.asarray, make_batch(sub))
+        for b in range(min(batch, n_scenes - scene_id)):
+            ob_in_world = np.asarray(tf.pose_from_qt(jnp.asarray(states.quat[b]), jnp.asarray(states.pos[b])))
+            np.savez_compressed(
+                f"{out_dir}/{scene_id:07d}.npz",
+                depth=outs["depth"][b], seg=outs["seg"][b], nocs=outs["nocs"][b],
+                normal=outs["normal"][b], xyz=outs["xyz"][b],
+                ob_in_world=ob_in_world.astype(np.float32),
+                scales=params.scale[b], shape_id=params.shape_id[b],
+                active=states.active[b], vis_ratio=vis[b],
+                K=K, cam_in_world=cams[b], class_name=class_name,
+            )
+            scene_id += 1
+        print(f"{scene_id}/{n_scenes} scenes")
+    return out_dir
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--class_name", default="nut")
+    ap.add_argument("--split", default="train")
+    ap.add_argument("--n_scenes", type=int, default=64)
+    ap.add_argument("--out_dir", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    out = args.out_dir or f"dataset/{args.class_name}/{args.split}"
+    generate_scenes(args.class_name, args.split, args.n_scenes, out, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Batched SDF-raymarch renderer: depth + instance seg + NUNOCS + normals.
+
+One TPU pass replaces three reference components:
+  * PyBullet's TinyRenderer camera (``pybullet_env/camera.py:35-45``) — depth
+    and per-body segmentation,
+  * the pyrender offscreen renderer used for per-object visibility masks
+    (``renderer.py:14-58``),
+  * the NUNOCS label pass that back-projects gt poses per pixel
+    (``tool.py:30-84``) — here NUNOCS coordinates fall out of the hit point
+    directly (hit position in the winning body's normalized bbox frame),
+  * the normal-map pass (``tool.py:96-122``) — normals are the CSG gradient.
+
+Sphere tracing with a fixed step count (static shapes; converged rays
+freeze), vmapped over a scene batch.  All geometry is analytic CSG — no
+gathers, so the inner loop is pure VPU arithmetic.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import transforms as tf
+from ..geom import csg as csglib
+from ..sim.engine import StaticEnv, box_sdf_and_normal
+from ..sim.types import SceneParams, SceneState, ShapeLib
+
+HIT_EPS = 2e-4
+
+
+def _scene_sdf(lib: ShapeLib, state: SceneState, params: SceneParams,
+               x: jnp.ndarray):
+    """φ per body at world points x (..., 3): (..., N)."""
+    R = tf.quat_to_matrix(state.quat)  # (N,3,3)
+    rel = x[..., None, :] - state.pos  # (...,N,3)
+    loc = jnp.einsum("bji,...bj->...bi", R, rel) / params.scale[:, None]
+
+    def per_body(shape_id, scale, pts):
+        shape = csglib.select_shape(lib.csg, shape_id)
+        return csglib.csg_sdf(shape, pts) * scale
+
+    phi = jax.vmap(per_body, in_axes=(0, 0, -2), out_axes=-1)(
+        params.shape_id, params.scale, loc
+    )
+    return jnp.where(state.active, phi, 1e9), loc
+
+
+def _env_sdf(env: StaticEnv, x: jnp.ndarray) -> jnp.ndarray:
+    Rm = tf.quat_to_matrix(env.quat)
+    rel = x[..., None, :] - env.center
+    loc = jnp.einsum("mji,...mj->...mi", Rm, rel)
+    d, _ = box_sdf_and_normal(loc, env.half)
+    d = jnp.where(env.enabled, d, 1e9)
+    return jnp.min(d, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("H", "W", "n_steps", "with_env"))
+def render(lib: ShapeLib, state: SceneState, params: SceneParams,
+           K: jnp.ndarray, cam_in_world: jnp.ndarray, H: int, W: int,
+           env: StaticEnv | None = None, zfar: float = 3.0,
+           n_steps: int = 64, with_env: bool = True):
+    """Render one scene -> dict of (H, W[, C]) images:
+    depth (z in cam frame, 0 = invalid), seg (int32: body index, -2 env,
+    -1 background), nocs (NUNOCS coords in [0,1], 0 outside objects),
+    normal (world frame), xyz (cam frame).  vmap over scenes for batches.
+    """
+    # pixel rays in world frame
+    vs = jnp.arange(H, dtype=jnp.float32)[:, None]
+    us = jnp.arange(W, dtype=jnp.float32)[None, :]
+    xs = (us - K[0, 2]) / K[0, 0]
+    ys = (vs - K[1, 2]) / K[1, 1]
+    d_cam = jnp.stack([xs * jnp.ones_like(ys), ys * jnp.ones_like(xs), jnp.ones_like(xs * ys)], axis=-1)
+    inv_norm = 1.0 / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
+    d_cam = d_cam * inv_norm  # unit dirs; z component = inv_norm
+    R_wc = cam_in_world[:3, :3]
+    o_w = cam_in_world[:3, 3]
+    d_w = jnp.einsum("ij,hwj->hwi", R_wc, d_cam).reshape(-1, 3)
+    P = d_w.shape[0]
+
+    t0 = 0.05
+    tmax = zfar / jnp.maximum(d_cam.reshape(-1, 3)[:, 2], 1e-3)  # cap by z-depth
+
+    def march(carry, _):
+        t, done = carry
+        x = o_w + t[:, None] * d_w
+        phi_b, _ = _scene_sdf(lib, state, params, x)
+        phi = jnp.min(phi_b, axis=-1)
+        if with_env and env is not None:
+            phi = jnp.minimum(phi, _env_sdf(env, x))
+        step = jnp.clip(phi, HIT_EPS * 0.5, 0.05)
+        newly_done = phi < HIT_EPS
+        t = jnp.where(done | newly_done, t, jnp.minimum(t + step, tmax))
+        return (t, done | newly_done | (t >= tmax)), None
+
+    (t, _), _ = jax.lax.scan(march, (jnp.full((P,), t0), jnp.zeros((P,), bool)), None, length=n_steps)
+
+    x = o_w + t[:, None] * d_w
+    phi_b, loc = _scene_sdf(lib, state, params, x)
+    phi_min = jnp.min(phi_b, axis=-1)
+    body = jnp.argmin(phi_b, axis=-1)
+    phi_env = _env_sdf(env, x) if (with_env and env is not None) else jnp.full((P,), 1e9)
+
+    hit_body = (phi_min < HIT_EPS * 4) & (t < tmax)
+    hit_env = (phi_env < HIT_EPS * 4) & (phi_env < phi_min) & (t < tmax)
+    seg = jnp.where(hit_body & ~hit_env, body, jnp.where(hit_env, -2, -1)).astype(jnp.int32)
+
+    # depth = z in camera frame
+    z_cam = t * d_cam.reshape(-1, 3)[:, 2]
+    depth = jnp.where(seg != -1, z_cam, 0.0)
+
+    # NUNOCS: hit point in winning body's normalized unit-scale bbox
+    loc_win = jnp.take_along_axis(loc, body[:, None, None].repeat(3, -1), axis=1)[:, 0]
+    b = lib.bounds[params.shape_id[body]]  # (P,2,3)
+    nocs = (loc_win - b[:, 0]) / jnp.maximum(b[:, 1] - b[:, 0], 1e-9)
+    nocs = jnp.where((seg >= 0)[:, None], jnp.clip(nocs, 0.0, 1.0), 0.0)
+
+    # world normal from the winning body's CSG gradient
+    def normal_one(x_i, body_i):
+        shape = csglib.select_shape(lib.csg, params.shape_id[body_i])
+        Rb = tf.quat_to_matrix(state.quat[body_i])
+        lp = Rb.T @ (x_i - state.pos[body_i]) / params.scale[body_i]
+        _, n = csglib.csg_sdf_and_normal(shape, lp[None])
+        return Rb @ n[0]
+
+    normal = jax.lax.map(lambda a: normal_one(a[0], a[1]), (x, body), batch_size=4096)
+    normal = jnp.where((seg >= 0)[:, None], normal, 0.0)
+
+    # xyz in cam frame (organized cloud, Utils.py:239 analog)
+    T_cw = tf.pose_inverse(cam_in_world)
+    xyz_cam = tf.transform_points(T_cw, x)
+    xyz_cam = jnp.where((seg != -1)[:, None], xyz_cam, 0.0)
+
+    shp = (H, W)
+    return {
+        "depth": depth.reshape(shp),
+        "seg": seg.reshape(shp),
+        "nocs": nocs.reshape(shp + (3,)),
+        "normal": normal.reshape(shp + (3,)),
+        "xyz": xyz_cam.reshape(shp + (3,)),
+    }
+
+
+def render_batch(lib, states, params, K, cam_in_world, H, W, env=None, **kw):
+    """vmapped render over a scene batch (leading axis of states/params)."""
+    fn = lambda s, p: render(lib, s, p, K, cam_in_world, H, W, env=env, **kw)
+    return jax.vmap(fn)(states, params)
+
+
+def visibility_ratio(lib, state, params, K, cam_in_world, H, W, env=None, **kw):
+    """Per-body visibility: pixels visible in the full scene / pixels visible
+    alone — the occlusion-ratio label of ``tool.py:229-275``.  Returns (N,)."""
+    full = render(lib, state, params, K, cam_in_world, H, W, env=env, **kw)
+    N = state.pos.shape[0]
+
+    def solo(i):
+        mask = jnp.zeros((N,), bool).at[i].set(True)
+        st = state.replace(active=state.active & mask)
+        out = render(lib, st, params, K, cam_in_world, H, W, env=None,
+                     with_env=False, **kw)
+        return jnp.sum(out["seg"] == i)
+
+    solo_counts = jax.lax.map(solo, jnp.arange(N))
+    full_counts = jnp.sum(full["seg"][None] == jnp.arange(N)[:, None, None], axis=(1, 2))
+    return full_counts / jnp.maximum(solo_counts, 1)

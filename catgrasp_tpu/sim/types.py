@@ -31,6 +31,7 @@ class ShapeLib:
     volume: jnp.ndarray  # (K,)
     inertia_unit: jnp.ndarray  # (K, 3) diagonal inertia at unit scale, unit density
     radius: jnp.ndarray  # (K,) bounding radius (broadphase)
+    bounds: jnp.ndarray = None  # (K, 2, 3) unit-scale AABB (NUNOCS normalization)
     sdf_values: jnp.ndarray | None = None  # (K, D, D, D) optional grids
     sdf_lower: jnp.ndarray | None = None  # (K, 3)
     sdf_spacing: jnp.ndarray | None = None  # (K,)
@@ -83,6 +84,7 @@ def build_shape_lib(meshes: list[TriMesh], csg_shapes: list[csglib.CsgShape] | N
         volume=jnp.asarray(np.array(vols, dtype=np.float32)),
         inertia_unit=jnp.asarray(np.stack(inert).astype(np.float32)),
         radius=jnp.asarray(np.array(rad, dtype=np.float32)),
+        bounds=jnp.asarray(np.stack([m.bounds for m in meshes]).astype(np.float32)),
         sdf_values=jnp.stack(values) if bake_grids else None,
         sdf_lower=jnp.stack(lowers) if bake_grids else None,
         sdf_spacing=jnp.stack(spacings) if bake_grids else None,
