@@ -1,0 +1,59 @@
+"""Train the grasp-quality classifier — TPU ``train_grasp.py``."""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.loader import load_config
+from ..data.datasets import GraspDataset
+from ..nn.losses import grasp_quality_ce
+from ..nn.pointnet import PointNetCls, feature_transform_regularizer
+from ..train.trainer import Trainer, create_state
+
+
+def build(cfg: dict):
+    model = PointNetCls(n_out=len(cfg["classes"]) - 1)
+
+    def loss_fn(params, apply_fn, batch, rng):
+        logits, trans_feat = apply_fn({"params": params}, batch["x"], train=True,
+                                      rngs={"dropout": rng})
+        loss = grasp_quality_ce(logits, batch["label"])
+        loss = loss + 1e-3 * feature_transform_regularizer(trans_feat)
+        acc = jnp.mean((jnp.argmax(logits, -1) == batch["label"]).astype(jnp.float32))
+        return loss, {"acc": acc}
+
+    return model, loss_fn
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--class_name", default="nut")
+    ap.add_argument("--data_root", default=None)
+    ap.add_argument("--grasp_db", required=True)
+    ap.add_argument("--n_epochs", type=int, default=None)
+    ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--ckpt_dir", default="artifacts/grasp")
+    args = ap.parse_args()
+
+    cfg = load_config("config_grasp.yml")
+    if args.batch_size:
+        cfg["batch_size"] = args.batch_size
+    root = args.data_root or f"dataset/{args.class_name}/train"
+    db = dict(np.load(args.grasp_db))
+    ds = GraspDataset(root, db, cfg)
+
+    model, loss_fn = build(cfg)
+    bs = cfg["batch_size"]
+    example = jnp.zeros((bs, cfg["n_pts"], cfg.get("input_channel", 6)), jnp.float32)
+    state = create_state(model, cfg, example, max(len(ds) // bs, 1))
+
+    trainer = Trainer(model=model, cfg=cfg, loss_fn=loss_fn,
+                      train_data=lambda: ds.batches(bs), ckpt_dir=args.ckpt_dir)
+    trainer.fit(state, n_epochs=args.n_epochs)
+
+
+if __name__ == "__main__":
+    main()
