@@ -164,6 +164,35 @@ def csg_cylinder(radius, height, center=(0, 0, 0)) -> CsgShape:
     return _pad([CYLINDER], [1], [[radius, height / 2, 0]], [list(center)])
 
 
+def csg_place_fixture(class_name: str) -> CsgShape:
+    """Analytic placement fixtures matching ``geom.primitives.place_fixture``
+    (the ``*_place.obj`` analogs): nut -> base plate + peg; screw -> block
+    with a vertical hole; hnm -> square socket."""
+    if class_name == "nut":
+        return _pad(
+            [BOX, CYLINDER],
+            [1, 1],
+            [[0.03, 0.03, 0.005], [0.0025, 0.03, 0]],
+            [[0, 0, 0.005], [0, 0, 0.04]],
+        )
+    if class_name == "screw":
+        return _pad(
+            [CYLINDER, CYLINDER],
+            [1, -1],
+            [[0.02, 0.01, 0], [0.0065, 0.02, 0]],
+            [[0, 0, 0.01], [0, 0, 0.01]],
+        )
+    if class_name == "hnm":
+        hw = 0.025 * float(np.cos(np.pi / 4))
+        return _pad(
+            [BOX, CYLINDER],
+            [1, -1],
+            [[hw, hw, 0.0125], [0.014, 0.03, 0]],
+            [[0, 0, 0.0125], [0, 0, 0.0125]],
+        )
+    raise ValueError(class_name)
+
+
 _CSG_BUILDERS = {"nut": csg_hex_nut, "screw": csg_screw, "hnm": csg_hnm}
 
 

@@ -220,10 +220,10 @@ def place_fixture(class_name: str, instance_params: dict | None = None) -> TriMe
     if class_name == "nut":
         return TriMesh.concatenate([
             box((0.06, 0.06, 0.01), center=(0, 0, 0.005)),
-            cylinder(0.004, 0.06, 16, center=(0, 0, 0.04)),
+            cylinder(0.0025, 0.06, 16, center=(0, 0, 0.04)),
         ])
     if class_name == "screw":
-        return tube(0.02, 0.005, 0.02, n=12, n_inner=16).transformed(_translate((0, 0, 0.01)))
+        return tube(0.02, 0.0065, 0.02, n=12, n_inner=16).transformed(_translate((0, 0, 0.01)))
     if class_name == "hnm":
-        return tube(0.025, 0.011, 0.025, n=4, n_inner=12, phase=np.pi / 4).transformed(_translate((0, 0, 0.0125)))
+        return tube(0.025, 0.014, 0.025, n=4, n_inner=12, phase=np.pi / 4).transformed(_translate((0, 0, 0.0125)))
     raise ValueError(class_name)

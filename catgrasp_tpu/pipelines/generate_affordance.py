@@ -1,0 +1,97 @@
+"""Self-supervised task-affordance discovery — TPU ``env_semantic_grasp.py``
+``__main__`` (``:308-348``) + ``generate_affordance`` (``:224-255``).
+
+Per training object: load its grasp DB, roll every grasp through
+``try_grasp`` (stability + insertion + drop + placement check), and
+accumulate per-surface-point P(task | stable grasp).  The reference fans
+this over ``cpu_count()`` PyBullet processes; here the grasp axis is one
+vmap (chunked), so a single chip replaces the CPU farm and ``shard_map``
+spreads chunks across a mesh.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geom import csg as csglib
+from ..geom import primitives as prim
+from ..sim import env_semantic as es
+from ..sim.env_grasp import GripperSpec
+from ..sim.types import build_shape_lib
+
+
+def generate_affordance(class_name: str, split: str, index: int, grasp_db: dict,
+                        n_aff_pts: int = 1024, chunk: int = 256,
+                        max_grasps: int = 100_000, min_trials: int = 10,
+                        spec: GripperSpec = GripperSpec(), seed: int = 0):
+    """Returns dict(points, affordance, n_stable, rets)."""
+    mesh = prim.make_instance(class_name, split, index)
+    fixture = prim.place_fixture(class_name)
+    lib = build_shape_lib(
+        [mesh, fixture],
+        [csglib.make_csg_instance(class_name, split, index),
+         csglib.csg_place_fixture(class_name)],
+        n_surf=64, seed=seed,
+    )
+    rng = np.random.default_rng(seed)
+    aff_pts = mesh.sample_surface(n_aff_pts, rng)
+
+    poses = grasp_db["grasp_poses"]
+    if len(poses) > max_grasps:  # env_semantic_grasp.py:232
+        poses = poses[rng.choice(len(poses), max_grasps, replace=False)]
+
+    fn = jax.jit(jax.vmap(lambda G: es.try_grasp(
+        lib, jnp.int32(0), jnp.int32(1), jnp.float32(1.0), G, class_name,
+        jnp.asarray(aff_pts), spec)), static_argnums=())
+
+    rets, masks = [], []
+    n = len(poses)
+    for i in range(0, n, chunk):
+        block = poses[i:i + chunk]
+        pad = chunk - len(block)
+        if pad:
+            block = np.concatenate([block, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
+        r, m = fn(jnp.asarray(block))
+        rets.append(np.asarray(r)[: chunk - pad if pad else chunk])
+        masks.append(np.asarray(m)[: chunk - pad if pad else chunk])
+        print(f"affordance {class_name}/{index}: {min(i + chunk, n)}/{n} grasps")
+    rets = np.concatenate(rets)
+    masks = np.concatenate(masks)
+    aff, n_stable = es.accumulate_affordance(rets, masks, min_trials=min_trials)
+    return {
+        "points": aff_pts.astype(np.float32),
+        "affordance": aff,
+        "n_stable": n_stable.astype(np.int32),
+        "rets": rets.astype(np.int8),
+        "class_name": class_name, "split": split, "index": index,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--class_name", default="nut")
+    ap.add_argument("--split", default="train")
+    ap.add_argument("--index", type=int, default=0)
+    ap.add_argument("--grasp_db", required=True)
+    ap.add_argument("--out_dir", default="dataset/affordance")
+    ap.add_argument("--max_grasps", type=int, default=100_000)
+    ap.add_argument("--min_trials", type=int, default=10)
+    args = ap.parse_args()
+
+    db = dict(np.load(args.grasp_db))
+    out = generate_affordance(args.class_name, args.split, args.index, db,
+                              max_grasps=args.max_grasps, min_trials=args.min_trials)
+    os.makedirs(args.out_dir, exist_ok=True)
+    path = f"{args.out_dir}/{args.class_name}_{args.split}_{args.index}_affordance.npz"
+    np.savez_compressed(path, **out)
+    r = out["rets"]
+    print(f"saved {path}: grasp-fail {np.mean(r == 0):.2f} stable {np.mean(r == 1):.2f} "
+          f"task-success {np.mean(r == 2):.2f}")
+
+
+if __name__ == "__main__":
+    main()

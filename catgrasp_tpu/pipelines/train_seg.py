@@ -1,0 +1,68 @@
+"""Train the instance-segmentation net — TPU ``train_pointgroup.py``."""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config.loader import load_config
+from ..data.datasets import SegDataset
+from ..nn.losses import offset_loss
+from ..nn.voxelnet import SegNet
+from ..train.trainer import Trainer, create_state
+
+
+def build(cfg: dict):
+    model = SegNet(voxel_size=float(cfg.get("voxel_size", 0.004)),
+                   grid_dims=tuple(cfg.get("grid_dims", (96, 96, 48))))
+
+    def loss_fn(params, apply_fn, batch, rng):
+        def per_scene(xyz, nrm, inst, gt_off):
+            origin = jnp.min(xyz, axis=0) - 0.01
+            offsets, objness = apply_fn({"params": params}, xyz, nrm, origin)
+            is_obj = inst >= 0
+            l_off = offset_loss(offsets, gt_off, is_obj)
+            l_obj = optax.sigmoid_binary_cross_entropy(objness, is_obj.astype(jnp.float32)).mean()
+            return l_off + l_obj
+
+        losses = jax.vmap(per_scene)(batch["xyz"], batch["normal"],
+                                     batch["instance_id"], batch["offsets"])
+        return losses.mean(), {}
+
+    return model, loss_fn
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--class_name", default="nut")
+    ap.add_argument("--data_root", default=None)
+    ap.add_argument("--n_epochs", type=int, default=None)
+    ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--ckpt_dir", default="artifacts/seg")
+    args = ap.parse_args()
+
+    cfg = load_config("config_seg.yml")
+    cfg["batch_size"] = args.batch_size
+    root = args.data_root or f"dataset/{args.class_name}/train"
+    ds = SegDataset(root, cfg)
+
+    model, loss_fn = build(cfg)
+    n_pts = cfg.get("n_pts", 20000)
+    rng = jax.random.PRNGKey(0)
+    example = (jax.random.uniform(rng, (n_pts, 3)) * 0.2,
+               jnp.ones((n_pts, 3)), jnp.zeros(3))
+    variables = model.init(rng, *example)
+    from ..train.trainer import TrainState, make_optimizer
+    state = TrainState.create(apply_fn=model.apply, params=variables["params"],
+                              tx=make_optimizer(cfg, max(len(ds) // args.batch_size, 1)))
+
+    trainer = Trainer(model=model, cfg=cfg, loss_fn=loss_fn,
+                      train_data=lambda: ds.batches(args.batch_size),
+                      ckpt_dir=args.ckpt_dir)
+    trainer.fit(state, n_epochs=args.n_epochs)
+
+
+if __name__ == "__main__":
+    main()

@@ -127,15 +127,12 @@ def open_gripper_collision(obj_pts_grasp: jnp.ndarray, spec: GripperSpec) -> jnp
 
 
 @partial(jax.jit, static_argnames=("spec",))
-def verify_grasp(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
-                 grasp_in_ob: jnp.ndarray, spec: GripperSpec = GripperSpec(),
-                 friction: float = 0.9) -> jnp.ndarray:
-    """One grasp verification rollout -> success (bool scalar).
-
-    Mirrors ``EnvGrasp.verify_grasp`` (``env_grasp.py:87-108``): object at
-    identity so ``grasp_in_world == grasp_in_ob``.
-    vmap over leading axes of (shape_id, scale, grasp_in_ob) for batches.
-    """
+def grasp_rollout(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
+                  grasp_in_ob: jnp.ndarray, spec: GripperSpec = GripperSpec(),
+                  friction: float = 0.9):
+    """Close-then-shake rollout; returns a dict with everything downstream
+    consumers need (success gate, final in-hand pose, closing width,
+    open-gripper collision flag).  vmap over leading axes for batches."""
     params = SceneParams.create(lib, shape_id[None], scale[None], friction=friction)
     state = SceneState.create(1).replace(active=jnp.array([True]))
 
@@ -169,9 +166,25 @@ def verify_grasp(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
         st = engine.step(st, params, lib, env, dt=dt, gravity=g)
         return (st, w_new), None
 
-    (final, _), _ = jax.lax.scan(step_fn, (state, w0), jnp.arange(N_CLOSE_STEPS + N_SHAKE_STEPS))
+    (final, w_final), _ = jax.lax.scan(step_fn, (state, w0), jnp.arange(N_CLOSE_STEPS + N_SHAKE_STEPS))
     disp = jnp.linalg.norm(final.pos[0])
-    return (~collided) & (disp <= SUCCESS_DISP)
+    success = (~collided) & (disp <= SUCCESS_DISP)
+    ob_pose_final = tf.pose_from_qt(final.quat[0], final.pos[0])
+    return {
+        "success": success,
+        "collided": collided,
+        "width": w_final,
+        "ob_pose_final": ob_pose_final,  # in-hand drift (identity at t0)
+        "displacement": disp,
+    }
+
+
+def verify_grasp(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
+                 grasp_in_ob: jnp.ndarray, spec: GripperSpec = GripperSpec(),
+                 friction: float = 0.9) -> jnp.ndarray:
+    """``EnvGrasp.verify_grasp`` (``env_grasp.py:87-108``): success bool.
+    Object starts at identity so ``grasp_in_world == grasp_in_ob``."""
+    return grasp_rollout(lib, shape_id, scale, grasp_in_ob, spec, friction)["success"]
 
 
 verify_grasp_batch = jax.jit(

@@ -1,0 +1,163 @@
+"""Task-affordance discovery — the TPU ``env_semantic_grasp.py``.
+
+Reference protocol (``EnvSemanticGraspNoArm.try_grasp``,
+``env_semantic_grasp.py:76-179``): hold the object at its task pose over the
+placement fixture, close the gripper, shake; if stable, kinematically insert
+along interpolated poses to the place pose, open, drop, and check
+``place_success_func``.  Outcome 0 = grasp fail, 1 = stable but task fail,
+2 = task success; contacts (object surface points touched by the fingers)
+are recorded for per-point affordance accumulation
+(``process_affordance_results``, ``:258-303``).
+
+TPU pipeline per grasp (vmapped over the grasp DB):
+  A. stability + in-hand drift + final width = :func:`env_grasp.grasp_rollout`
+  B. insertion feasibility = gripper-box sample points AND object surface
+     points vs the fixture CSG along interpolated waypoints (pure VPU)
+  C. drop = contact rollout of object (post-insert pose) against the fixture
+     (modeled as an effectively-infinite-mass body in the same engine)
+  D. class-specific placement check (``Utils.py:38-76`` semantics adapted to
+     the procedural fixtures).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import transforms as tf
+from ..geom import csg as csglib
+from . import engine
+from .env_grasp import GripperSpec, finger_boxes, finger_contact_points, grasp_rollout
+from .types import SceneParams, SceneState, ShapeLib
+
+# Task poses relative to the fixture origin: (pre-place, place) object poses
+# — the ``place_pose_dict`` analog (``Utils.py:15-24``), adapted to the
+# procedural fixtures of geom.primitives.place_fixture.
+TASK_POSES = {
+    # drop-threading like the reference: the place (release) pose hovers just
+    # above the fixture feature; gravity threads the part in.
+    # nut: release above the peg tip (0.07), hole aligned -> threads down
+    "nut": (np.array([0, 0, 0.15]), np.array([0, 0, 0.08])),
+    # screw: tip above the hole (block top 0.02); origin at head base
+    "screw": (np.array([0, 0, 0.15]), np.array([0, 0, 0.065])),
+    # connector: above the socket opening (depth 0.025)
+    "hnm": (np.array([0, 0, 0.12]), np.array([0, 0, 0.05])),
+}
+
+# success bands (meters): object settled INTO the feature, not on top of it
+_SUCCESS_Z_MAX = {"nut": 0.03, "screw": 0.04, "hnm": 0.035}
+
+
+def place_success(class_name: str, ob_pose: jnp.ndarray, place_pos: jnp.ndarray) -> jnp.ndarray:
+    """Class-specific placement check (``get_place_success_func``,
+    ``Utils.py:38-76`` semantics): xy-center proximity + axis parallelism +
+    a height band proving the part actually threaded/seated (resting on the
+    peg tip / block top reads as too high -> fail)."""
+    xy_ok = jnp.linalg.norm(ob_pose[:2, 3] - place_pos[:2]) <= 0.006
+    z_axis = ob_pose[:3, 2]
+    axis_ok = jnp.abs(z_axis[2]) >= jnp.cos(jnp.deg2rad(20.0))
+    z_ok = ob_pose[2, 3] <= _SUCCESS_Z_MAX[class_name]
+    return xy_ok & z_ok & axis_ok
+
+
+def _gripper_sample_points(spec: GripperSpec, width: jnp.ndarray, n_per_box: int = 32):
+    """Sample points on the gripper's three boxes at the given opening,
+    grasp frame — for gripper-vs-fixture insertion collision tests."""
+    centers, halves = finger_boxes(width, spec)
+    # deterministic low-discrepancy-ish grid on each box surface
+    u = (jnp.arange(n_per_box) + 0.5) / n_per_box
+    g = jnp.stack(jnp.meshgrid(u, u, u, indexing="ij"), -1).reshape(-1, 3)
+    g = g[jax.random.permutation(jax.random.PRNGKey(0), g.shape[0])[:n_per_box]]
+    pts = (g * 2 - 1)[None] * halves[:, None, :] + centers[:, None, :]
+    return pts.reshape(-1, 3)  # (3*n_per_box, 3)
+
+
+@partial(jax.jit, static_argnames=("class_name", "spec", "n_waypoints", "drop_steps"))
+def try_grasp(lib: ShapeLib, obj_shape: jnp.ndarray, fixture_shape_idx: jnp.ndarray,
+              scale: jnp.ndarray, grasp_in_ob: jnp.ndarray, class_name: str,
+              aff_pts: jnp.ndarray, spec: GripperSpec = GripperSpec(),
+              n_waypoints: int = 8, drop_steps: int = 60):
+    """One grasp -> (ret in {0,1,2}, contact mask over aff_pts (P,)).
+
+    ``lib`` must contain both the object shape (index ``obj_shape``) and the
+    fixture shape (index ``fixture_shape_idx``, with its CSG tree).
+    ``aff_pts`` (P,3): dense object surface points for affordance labels.
+    vmap over grasp_in_ob for the whole DB.
+    """
+    pre_t, place_t = [jnp.asarray(t, jnp.float32) for t in TASK_POSES[class_name]]
+
+    # --- A: stability (free-space close + shake) ---------------------------
+    roll = grasp_rollout(lib, obj_shape, scale, grasp_in_ob, spec)
+    stable = roll["success"]
+    width = roll["width"]
+    drift = roll["ob_pose_final"]  # object motion in the (fixed) grasp world
+
+    # contacts on the affordance point set at the final width
+    T_ginv = tf.pose_inverse(grasp_in_ob)
+    # post-shake object pose relative to grasp frame
+    pts_ob = aff_pts * scale
+    pts_w = tf.transform_points(drift, pts_ob)
+    pts_g = tf.transform_points(T_ginv, pts_w)
+    m_pos, m_neg = finger_contact_points(pts_g, width, spec, surface_tol=0.003)
+    contact_mask = (m_pos | m_neg) & stable
+
+    # --- B: insertion sweep -------------------------------------------------
+    # object pose path: pre -> place (translation interp, orientation = task
+    # orientation = identity in fixture frame)
+    alphas = jnp.linspace(0.0, 1.0, n_waypoints)
+    ob_pos_path = pre_t[None] * (1 - alphas[:, None]) + place_t[None] * alphas[:, None]
+
+    fixture_csg = csglib.select_shape(lib.csg, fixture_shape_idx)
+    grip_pts_g = _gripper_sample_points(spec, width)
+
+    def waypoint_collides(ob_pos):
+        ob_pose = jnp.eye(4).at[:3, 3].set(ob_pos)
+        # grasp pose in fixture frame when holding the (drifted) object here
+        grasp_w = ob_pose @ tf.pose_inverse(drift) @ grasp_in_ob
+        gp_w = tf.transform_points(grasp_w, grip_pts_g)
+        d_grip = csglib.csg_sdf(fixture_csg, gp_w)
+        # object points vs fixture (hole alignment)
+        op_w = tf.transform_points(ob_pose, pts_ob)
+        d_ob = csglib.csg_sdf(fixture_csg, op_w)
+        return (jnp.min(d_grip) < 5e-4) | (jnp.min(d_ob) < -1e-3)
+
+    blocked = jnp.any(jax.vmap(waypoint_collides)(ob_pos_path))
+
+    # --- C: drop from the place pose ---------------------------------------
+    FIXTURE_MASS = 1e9
+    shape_ids = jnp.stack([obj_shape, fixture_shape_idx])
+    params = SceneParams.create(lib, shape_ids, jnp.stack([scale, jnp.float32(1.0)]))
+    params = params.replace(
+        mass=params.mass.at[1].set(FIXTURE_MASS),
+        inertia=params.inertia.at[1].set(FIXTURE_MASS),
+    )
+    st = SceneState.create(2).replace(
+        pos=jnp.stack([place_t, jnp.zeros(3)]),
+        active=jnp.array([True, True]),
+    )
+    no_env = engine.StaticEnv.boxes(
+        jnp.array([[0.0, 0.0, -0.05]]), jnp.array([[0.5, 0.5, 0.05]]))  # floor
+    final = engine.rollout(st, params, lib, no_env, drop_steps, gravity=-9.8)
+    ob_pose_final = tf.pose_from_qt(final.quat[0], final.pos[0])
+    placed = place_success(class_name, ob_pose_final, place_t)
+
+    ret = jnp.where(stable, jnp.where(blocked | ~placed, 1, 2), 0)
+    return ret, contact_mask
+
+
+def accumulate_affordance(rets: np.ndarray, contact_masks: np.ndarray,
+                          min_trials: int = 10):
+    """Per-point P(task | stable grasp) from trial outcomes
+    (``process_affordance_results``, ``env_semantic_grasp.py:258-303``).
+
+    rets (G,), contact_masks (G, P) -> (affordance (P,), n_stable (P,)).
+    """
+    stable = rets >= 1
+    task = rets == 2
+    n_stable = (contact_masks & stable[:, None]).sum(axis=0)
+    n_task = (contact_masks & task[:, None]).sum(axis=0)
+    aff = np.where(n_stable >= min_trials, n_task / np.maximum(n_stable, 1), 0.0)
+    return aff.astype(np.float32), n_stable
