@@ -22,12 +22,25 @@ Layer map (bottom -> top), mirroring SURVEY.md §7:
     native/    C++ runtime components (SDF bake, IO)
 """
 
+import os as _os
+
 import jax as _jax
 
 # Geometry/physics live on chains of small (3x3 / 4x4) matmuls where bf16
 # MXU accumulation visibly corrupts poses; make float32 the framework-wide
 # default. NN hot paths opt into bf16 explicitly via dtype arguments.
 _jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache: the sim/render/filter programs are large and
+# the pipelines re-launch them across processes; caching makes every run
+# after the first start in seconds.
+_cache_dir = _os.environ.get("CATGRASP_TPU_CACHE",
+                             _os.path.expanduser("~/.cache/catgrasp_tpu_xla"))
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - older jax without the knobs
+    pass
 
 __version__ = "0.1.0"
 

@@ -1,0 +1,328 @@
+"""Closed-loop clutter evaluation — TPU ``run_grasp_simulation.py`` (THE demo).
+
+Loop (reference ``simulate_grasp_with_arm``, ``run_grasp_simulation.py:480``):
+  make pile -> settle -> render -> segment -> per segment: occupancy fill,
+  NUNOCS 9D pose, grasp sampling (cone + NOCS transfer) + filtering,
+  task-affordance scoring P(T|G), learned quality P(G), threshold gates on
+  P(T,G)=P(T|G)P(G) -> pick -> lift -> place over the fixture -> verify ->
+  tally ``num_objects / num_stable_grasp / num_task_grasp_succ``
+  (``:719``).
+
+Perception is pluggable: trained predicters (artifacts) or oracle mode
+(ground-truth seg + pose from the renderer) so the full loop is evaluable
+before/without training — the physics, sampling, filtering, kinematics and
+placement logic are identical in both modes.
+"""
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.loader import load_config
+from ..core import transforms as tf
+from ..core.symmetry import get_symmetry_tfs
+from ..geom import csg as csglib
+from ..geom import primitives as prim
+from ..grasp.gripper import Gripper
+from ..grasp.sampler import NocsTransferGraspSampler, PointConeGraspSampler
+from ..pipelines.make_canonical import to_nunocs_transform
+from ..render import raymarch
+from ..sim import engine, env_pile, env_semantic as es
+from ..sim.env_grasp import GripperSpec, finger_boxes, finger_contact_points, gripper_env
+from ..sim.types import SceneParams, SceneState, build_shape_lib
+
+LIFT_HEIGHT = 0.25
+LIFT_STEPS = 80
+CLOSE_STEPS = 50
+
+
+# ---------------------------------------------------------------------------
+# In-pile pick execution (floating gripper in the full pile scene)
+# ---------------------------------------------------------------------------
+
+
+def execute_pick(lib, state: SceneState, params: SceneParams, env_bin,
+                 target: int, grasp_in_world: jnp.ndarray,
+                 spec: GripperSpec = GripperSpec()):
+    """Close on the target inside the pile, then lift.  Returns
+    (picked bool, final_state, in-hand pose of target rel. grasp)."""
+    dt = engine.DT
+    T_inv0 = tf.pose_inverse(grasp_in_world)
+
+    def step_fn(carry, i):
+        st, w = carry
+        closing = i < CLOSE_STEPS
+        lift_v = jnp.where(closing, 0.0, LIFT_HEIGHT / (LIFT_STEPS * dt))
+        dz = jnp.maximum(i - CLOSE_STEPS, 0) * dt * (LIFT_HEIGHT / (LIFT_STEPS * dt))
+        T_g = grasp_in_world.at[2, 3].add(dz)
+
+        R = tf.quat_to_matrix(st.quat[target])
+        pts_w = st.pos[target] + (lib.surf_pts[params.shape_id[target]]
+                                  * params.scale[target]) @ R.T
+        pts_g = tf.transform_points(tf.pose_inverse(T_g), pts_w)
+        from ..sim.env_grasp import _object_pen_in_fingers
+        pen = _object_pen_in_fingers(pts_g, w, spec)
+        dv_allow = jnp.maximum(spec.max_squeeze_pen - pen, 0.0) * 2.0
+        dv = jnp.where(closing, jnp.minimum(spec.close_speed * dt, dv_allow), 0.0)
+        w_new = jnp.maximum(w - dv, 0.0)
+
+        genv = gripper_env(T_g, w_new, dv / dt, spec)
+        # merge bin + gripper colliders
+        merged = engine.StaticEnv(
+            center=jnp.concatenate([env_bin.center, genv.center]),
+            half=jnp.concatenate([env_bin.half, genv.half]),
+            quat=jnp.concatenate([env_bin.quat, genv.quat]),
+            vel=jnp.concatenate([env_bin.vel, genv.vel + jnp.array([0.0, 0, 1.0]) * lift_v]),
+            friction=jnp.concatenate([env_bin.friction, genv.friction]),
+            enabled=jnp.concatenate([env_bin.enabled, genv.enabled]),
+        )
+        st = engine.step(st, params, lib, merged, dt=dt, gravity=-9.8)
+        return (st, w_new), None
+
+    (final, w_f), _ = jax.lax.scan(step_fn, (state, jnp.asarray(spec.max_width)),
+                                   jnp.arange(CLOSE_STEPS + LIFT_STEPS))
+    T_g_end = grasp_in_world.at[2, 3].add(LIFT_HEIGHT)
+    ob_pose = tf.pose_from_qt(final.quat[target], final.pos[target])
+    ob_in_grasp = tf.pose_inverse(T_g_end) @ ob_pose
+    # picked: target ended near the lifted gripper's closing region
+    picked = jnp.linalg.norm(ob_in_grasp[:3, 3] - jnp.array([0.02, 0.0, 0.0])) < 0.06
+    return picked, final, ob_in_grasp, w_f
+
+
+# ---------------------------------------------------------------------------
+# Grasp affordance P(T|G) from the canonical codebook
+# ---------------------------------------------------------------------------
+
+
+def grasp_affordance(canonical: dict, nocs_pose: np.ndarray, grasps_cam: np.ndarray,
+                     width: float, spec: GripperSpec) -> np.ndarray:
+    """P(T|G) per grasp: mean canonical affordance over the points the
+    fingers would contact (``compute_grasp_affordance``,
+    ``run_grasp_simulation.py:73-107``)."""
+    pts_nocs = canonical["canonical_cloud"]
+    aff = canonical["canonical_affordance"]
+    pts_cam = pts_nocs @ nocs_pose[:3, :3].T + nocs_pose[:3, 3]
+    out = np.zeros(len(grasps_cam), np.float32)
+    for i, g in enumerate(grasps_cam):
+        pg = (pts_cam - g[:3, 3]) @ g[:3, :3]
+        m1, m2 = finger_contact_points(jnp.asarray(pg), jnp.asarray(width), spec,
+                                       surface_tol=0.004)
+        m = np.asarray(m1 | m2)
+        out[i] = float(aff[m].mean()) if m.any() else 0.0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Main loop
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EvalCounters:
+    num_objects: int = 0
+    num_attempts: int = 0
+    num_stable_grasp: int = 0
+    num_task_grasp_succ: int = 0
+
+
+def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
+                          n_objects: int = 5, cfg_run: dict | None = None,
+                          oracle: bool = True, canonical: dict | None = None,
+                          predicters: dict | None = None, seed: int = 0,
+                          max_attempts_per_round: int = 8,
+                          render_hw=(192, 256), verbose: bool = True):
+    cfg_run = cfg_run or load_config("config_run.yml")
+    gripper = Gripper.default()
+    spec = gripper.spec
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+
+    split = cfg_run.get("instance_split", "test")
+    n_inst = prim.num_instances(class_name, split)
+    meshes = [prim.make_instance(class_name, split, i) for i in range(n_inst)]
+    csgs = [csglib.make_csg_instance(class_name, split, i) for i in range(n_inst)]
+    meshes.append(prim.place_fixture(class_name))
+    csgs.append(csglib.csg_place_fixture(class_name))
+    lib = build_shape_lib(meshes, csgs, n_surf=64)
+    fixture_idx = len(meshes) - 1
+
+    pile_cfg = env_pile.PileConfig(max_bodies=n_objects, scale_range=(0.9, 1.1))
+    env_bin = engine.StaticEnv.open_bin(pile_cfg.bin_inner)
+    H, W = render_hw
+    Kc = jnp.array([[260.0, 0, W / 2], [0, 260.0, H / 2], [0, 0, 1.0]])
+    cam = np.eye(4, dtype=np.float32)
+    cam[:3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float32)
+    cam[:3, 3] = [0, 0, 0.7]
+    cam_j = jnp.asarray(cam)
+    T_wc = np.linalg.inv(cam)
+
+    sym = get_symmetry_tfs(class_name)
+    counters = EvalCounters()
+    cone = PointConeGraspSampler(
+        gripper, max_num_samples=24,
+        n_sphere_dir=int(cfg_run.get("cone_grasp_smapler_n_sphere_dir", 30)) // 3,
+        approach_step=float(cfg_run.get("cone_grasp_smapler_approach_step", 0.002)) * 3,
+    )
+    nocs_sampler = None
+    if canonical is not None and len(canonical.get("canonical_grasps", [])):
+        nocs_sampler = NocsTransferGraspSampler(
+            gripper, np.asarray(canonical["canonical_grasps"]),
+            np.asarray(canonical["canonical_grasp_scores"]),
+            score_larger_than=float(cfg_run.get("nocs_grasp_sampler_score_larger_than", 0.95)),
+            max_n_grasp=int(cfg_run.get("nocs_grasp_sampler_max_n_grasp", 10000)),
+        )
+
+    for rnd in range(n_rounds):
+        key, k1 = jax.random.split(key)
+        # build a pile of test instances (reference: 4-7 objects, :485-519)
+        shape_id = jnp.asarray(rng.integers(0, n_inst, n_objects), jnp.int32)
+        scale = jnp.asarray(rng.uniform(*pile_cfg.scale_range, n_objects), jnp.float32)
+        params = SceneParams.create(lib, shape_id, scale)
+        state, _ = env_pile.reset(k1, lib, pile_cfg, n_objects=jnp.int32(n_objects))
+        state = state.replace(active=jnp.arange(n_objects) < n_objects)
+        state = env_pile.settle_fixed(state, params, lib, env_bin, pile_cfg, 500)
+        counters.num_objects += int(np.asarray(state.active).sum())
+
+        for attempt in range(max_attempts_per_round):
+            active = np.asarray(state.active)
+            if not active.any():
+                break
+            out = raymarch.render(lib, state, params, Kc, cam_j, H, W, env=env_bin)
+            seg = np.asarray(out["seg"])
+            xyz = np.asarray(out["xyz"])
+            normal = np.asarray(out["normal"])
+
+            # segment choice: largest visible segment (reference sorts by
+            # pixel count, :266)
+            counts = [(seg == i).sum() if active[i] else 0 for i in range(n_objects)]
+            target = int(np.argmax(counts))
+            if counts[target] < 50:
+                break
+            m = seg == target
+            pts = xyz[m]
+            nrm = normal[m]
+            # background = everything else that is visible
+            bg_m = (seg != target) & (seg != -1)
+            bg = xyz[bg_m]
+            if len(bg) == 0:
+                bg = np.full((1, 3), 999.0, np.float32)
+
+            # --- pose estimation (oracle or net) ---------------------------
+            # nocs_pose maps CENTERED NUNOCS ([-0.5,0.5]^3) -> camera frame
+            if oracle:
+                ob_in_cam = T_wc @ np.asarray(tf.pose_from_qt(state.quat[target], state.pos[target]))
+                s = float(scale[target])
+                mesh_idx = int(shape_id[target])
+                T_nocs = to_nunocs_transform(meshes[mesh_idx].vertices * s)
+                nocs_pose = (ob_in_cam @ np.linalg.inv(T_nocs)).astype(np.float32)
+            else:
+                res = predicters["nocs"].predict(pts, nrm)
+                if not res["valid"]:
+                    break
+                nocs_pose = res["nocs_pose"].astype(np.float32)
+
+            # --- sample + filter grasps ------------------------------------
+            key, k2 = jax.random.split(key)
+            n_sub = min(len(pts), 512)
+            ids = rng.choice(len(pts), n_sub, replace=False)
+            poses_c, valid_c, _ = cone.sample_grasps(
+                k2, pts[ids], nrm[ids], background_cloud=bg[:2048],
+                background_mask=np.ones(min(len(bg), 2048), bool),
+                cam_in_world=jnp.asarray(cam), filter_ik=True, chunk=128)
+            cand = [np.asarray(poses_c)[np.asarray(valid_c)]]
+            if nocs_sampler is not None:
+                poses_n, valid_n, _ = nocs_sampler.sample_grasps(
+                    nocs_pose=jnp.asarray(nocs_pose), symmetry_tfs=jnp.asarray(sym),
+                    background_cloud=bg[:2048],
+                    background_mask=np.ones(min(len(bg), 2048), bool),
+                    collision_cloud=pts[ids], collision_mask=np.ones(n_sub, bool),
+                    cam_in_world=jnp.asarray(cam), filter_ik=True, chunk=128)
+                cand.append(np.asarray(poses_n)[np.asarray(valid_n)])
+            grasps_cam = np.concatenate(cand) if any(len(c) for c in cand) else np.zeros((0, 4, 4))
+            if len(grasps_cam) == 0:
+                if verbose:
+                    print(f"round {rnd} attempt {attempt}: no grasp candidates")
+                break
+            if len(grasps_cam) > 128:
+                grasps_cam = grasps_cam[rng.choice(len(grasps_cam), 128, replace=False)]
+
+            # --- scores -----------------------------------------------------
+            p_T_given_G = (grasp_affordance(canonical, nocs_pose, grasps_cam,
+                                            width=0.012, spec=spec)
+                           if canonical is not None and canonical["canonical_affordance"].any()
+                           else np.ones(len(grasps_cam), np.float32))
+            if predicters and "grasp" in predicters:
+                _, _, dist = predicters["grasp"].predict_batch(pts, nrm, grasps_cam)
+                p_G = predicters["grasp"].expected_quality(dist)
+            else:
+                p_G = np.ones(len(grasps_cam), np.float32)
+            p_T_G = p_T_given_G * p_G
+
+            ok = ((p_G >= cfg_run.get("p_G_thres", 0.5))
+                  & (p_T_given_G >= cfg_run.get("p_T_given_G_thres", 0.5))
+                  & (p_T_G >= cfg_run.get("p_T_G_thres", 0.1)))
+            if not ok.any():
+                ok = p_T_G >= 0  # fall back to best-effort pick (keep clearing)
+            order = np.argsort(-p_T_G)
+            pick = next(i for i in order if ok[i])
+            grasp_cam = grasps_cam[pick]
+            grasp_world = jnp.asarray((cam @ grasp_cam).astype(np.float32))
+
+            # --- execute pick ----------------------------------------------
+            counters.num_attempts += 1
+            picked, state_after, ob_in_grasp, w_f = jax.jit(
+                execute_pick, static_argnames=("target", "spec"))(
+                lib, state, params, env_bin, target, grasp_world, spec)
+            picked = bool(picked)
+            if picked:
+                counters.num_stable_grasp += 1
+                # --- place over the fixture (env_semantic phase B/C): the
+                # grasp pose in the object frame reflects any in-hand slip
+                # that happened during the pick -----------------------------
+                grasp_in_ob = tf.pose_inverse(jnp.asarray(ob_in_grasp))
+                ret, _ = es.try_grasp(
+                    lib, shape_id[target], jnp.int32(fixture_idx), scale[target],
+                    grasp_in_ob, class_name, lib.surf_pts[shape_id[target]], spec)
+                placed = int(ret) == 2
+                if placed:
+                    counters.num_task_grasp_succ += 1
+            # remove the attempted object from the pile (reference removes
+            # placed objects; failed picks scatter — we deactivate either way
+            # after a pick attempt touched it)
+            state = state_after.replace(
+                active=state_after.active.at[target].set(~jnp.bool_(picked)))
+            state = env_pile.settle_fixed(state, params, lib, env_bin, pile_cfg, 150)
+            if verbose:
+                print(f"round {rnd} attempt {attempt}: target {target} "
+                      f"picked={picked} p_T_G={p_T_G[pick]:.2f}")
+
+    return counters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--class_name", default=None)
+    ap.add_argument("--n_rounds", type=int, default=2)
+    ap.add_argument("--n_objects", type=int, default=5)
+    ap.add_argument("--canonical", default=None)
+    ap.add_argument("--oracle", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    cfg_run = load_config("config_run.yml")
+    class_name = args.class_name or cfg_run.get("class_name", "nut")
+    canonical = dict(np.load(args.canonical)) if args.canonical else None
+    c = simulate_grasp_rounds(class_name, args.n_rounds, args.n_objects,
+                              cfg_run, oracle=bool(args.oracle),
+                              canonical=canonical, seed=args.seed)
+    print(f"num_objects={c.num_objects} num_attempts={c.num_attempts} "
+          f"num_stable_grasp={c.num_stable_grasp} "
+          f"num_task_grasp_succ={c.num_task_grasp_succ}")
+
+
+if __name__ == "__main__":
+    main()
