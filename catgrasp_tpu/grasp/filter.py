@@ -28,9 +28,36 @@ import numpy as np
 
 from ..core import transforms as tf
 from ..kin import iiwa
+from ..ops import collision as pallas_collision
 from ..sim.env_grasp import GripperSpec, finger_boxes
 
 ADJUST_OFFSETS = np.array([0.0, 1e-3, -1e-3, 2e-3, -2e-3, 3e-3, -3e-3], dtype=np.float32)
+
+
+def _static_open_boxes(spec: GripperSpec) -> tuple:
+    """Open-gripper finger/palm boxes as compile-time constants (the spec is
+    a static dataclass, so ``finger_boxes`` at max width is pure numbers;
+    numpy mirror so this stays concrete under an outer jit trace)."""
+    t = spec.finger_thickness
+    cy = spec.max_width / 2 + t / 2
+    centers = ((spec.finger_len / 2, cy, 0.0),
+               (spec.finger_len / 2, -cy, 0.0),
+               (-spec.palm_depth / 2, 0.0, 0.0))
+    halves = ((spec.finger_len / 2, t / 2, spec.finger_depth / 2),
+              (spec.finger_len / 2, t / 2, spec.finger_depth / 2),
+              (spec.palm_depth / 2, spec.max_width / 2 + t + 0.01,
+               spec.finger_depth / 2 + 0.01))
+    return pallas_collision.as_static_boxes(centers, halves)
+
+
+def _static_enclosed_box(spec: GripperSpec) -> tuple:
+    """Swept closing volume between the fingers (the reference's
+    ``gripper_enclosed`` mesh test, ``common.cpp:241-249``)."""
+    center = ((spec.finger_len / 2, 0.0, 0.0),)
+    half = ((spec.finger_len / 2,
+             spec.max_width / 2 + spec.finger_thickness,
+             spec.finger_depth / 2),)
+    return pallas_collision.as_static_boxes(center, half)
 
 
 def _hits_per_offset(pts: jnp.ndarray, centers: jnp.ndarray, halves: jnp.ndarray,
@@ -52,7 +79,7 @@ def _hits_per_offset(pts: jnp.ndarray, centers: jnp.ndarray, halves: jnp.ndarray
     return jnp.any(hit, axis=(0, 1))  # (A,)
 
 
-@partial(jax.jit, static_argnames=("spec", "filter_approach", "filter_ik", "adjust", "n_psi", "chunk"))
+@partial(jax.jit, static_argnames=("spec", "filter_approach", "filter_ik", "adjust", "margin", "n_psi", "chunk", "backend"))
 def filter_grasp_poses(
     grasp_poses: jnp.ndarray,  # (G, 4, 4) in canonical frame
     symmetry_tfs: jnp.ndarray,  # (S, 4, 4)
@@ -70,6 +97,7 @@ def filter_grasp_poses(
     margin: float = 5e-4,  # octree-resolution analog (grasp_sampler.py:213)
     n_psi: int = 16,
     chunk: int = 64,
+    backend: str = "auto",  # "pallas" fused kernel | "xla" | "auto"
 ):
     """Returns (poses_out (G*S, 4, 4) in CAMERA frame, valid (G*S,), stats).
 
@@ -109,24 +137,40 @@ def filter_grasp_poses(
         stats["n_ik_rej"] = jnp.zeros((), jnp.int32)
 
     # --- collision: clouds in grasp frame vs analytic gripper boxes --------
-    open_centers, open_halves = finger_boxes(jnp.asarray(spec.max_width), spec)
-    enc_center = jnp.array([[spec.finger_len / 2, 0.0, 0.0]])
-    enc_half = jnp.array([[spec.finger_len / 2,
-                           spec.max_width / 2 + spec.finger_thickness,
-                           spec.finger_depth / 2]])
     offsets = jnp.asarray(ADJUST_OFFSETS if adjust else ADJUST_OFFSETS[:1])
+    if backend == "auto":
+        backend = "pallas"
+    if backend == "pallas":
+        # fused transform + box-test + OR-reduce on chip (ops/collision.py)
+        off_static = tuple(float(o) for o in
+                           (ADJUST_OFFSETS if adjust else ADJUST_OFFSETS[:1]))
+        interp = jax.default_backend() != "tpu"
+        T_inv = pallas_collision.pose_inverse_batch(T)
+        hit_open = pallas_collision.box_hits(
+            T_inv, collision_cloud, collision_mask,
+            _static_open_boxes(spec), off_static, margin, interpret=interp)
+        hit_enc = pallas_collision.box_hits(
+            T_inv, background_cloud, background_mask,
+            _static_enclosed_box(spec), off_static, margin, interpret=interp)
+        free = ~(hit_open | hit_enc)  # (GS, A)
+    else:
+        open_centers, open_halves = finger_boxes(jnp.asarray(spec.max_width), spec)
+        enc_center = jnp.array([[spec.finger_len / 2, 0.0, 0.0]])
+        enc_half = jnp.array([[spec.finger_len / 2,
+                               spec.max_width / 2 + spec.finger_thickness,
+                               spec.finger_depth / 2]])
 
-    def collide_one(T_i):
-        T_inv = tf.pose_inverse(T_i)
-        pts_c = tf.transform_points(T_inv, collision_cloud)
-        pts_b = tf.transform_points(T_inv, background_cloud)
-        hit_open = _hits_per_offset(pts_c, open_centers, open_halves,
-                                    collision_mask, offsets, margin)
-        hit_enc = _hits_per_offset(pts_b, enc_center, enc_half,
-                                   background_mask, offsets, margin)
-        return ~(hit_open | hit_enc)  # (A,) free per offset
+        def collide_one(T_i):
+            T_inv = tf.pose_inverse(T_i)
+            pts_c = tf.transform_points(T_inv, collision_cloud)
+            pts_b = tf.transform_points(T_inv, background_cloud)
+            hit_open = _hits_per_offset(pts_c, open_centers, open_halves,
+                                        collision_mask, offsets, margin)
+            hit_enc = _hits_per_offset(pts_b, enc_center, enc_half,
+                                       background_mask, offsets, margin)
+            return ~(hit_open | hit_enc)  # (A,) free per offset
 
-    free = jax.lax.map(collide_one, T, batch_size=chunk)  # (GS, A)
+        free = jax.lax.map(collide_one, T, batch_size=chunk)  # (GS, A)
     any_free = jnp.any(free, axis=-1)
     first = jnp.argmax(free, axis=-1)  # first free offset in search order
     dy = offsets[first]
