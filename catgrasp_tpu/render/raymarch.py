@@ -64,7 +64,8 @@ def render(lib: ShapeLib, state: SceneState, params: SceneParams,
     """Render one scene -> dict of (H, W[, C]) images:
     depth (z in cam frame, 0 = invalid), seg (int32: body index, -2 env,
     -1 background), nocs (NUNOCS coords in [0,1], 0 outside objects),
-    normal (world frame), xyz (cam frame).  vmap over scenes for batches.
+    normal (cam frame, oriented toward the camera), xyz (cam frame).
+    vmap over scenes for batches.
     """
     # pixel rays in world frame
     vs = jnp.arange(H, dtype=jnp.float32)[:, None]
@@ -125,6 +126,12 @@ def render(lib: ShapeLib, state: SceneState, params: SceneParams,
         return Rb @ n[0]
 
     normal = jax.lax.map(lambda a: normal_one(a[0], a[1]), (x, body), batch_size=4096)
+    # camera frame, oriented toward the camera — matching the reference's
+    # o3d normal maps (``tool.py:96-122`` orients at the camera origin) and
+    # consistent with the cam-frame ``xyz`` cloud below.
+    normal = jnp.einsum("ij,nj->ni", tf.pose_inverse(cam_in_world)[:3, :3], normal)
+    flip = jnp.sign(-jnp.sum(normal * d_cam.reshape(-1, 3), axis=-1, keepdims=True))
+    normal = normal * jnp.where(flip == 0, 1.0, flip)
     normal = jnp.where((seg >= 0)[:, None], normal, 0.0)
 
     # xyz in cam frame (organized cloud, Utils.py:239 analog)
