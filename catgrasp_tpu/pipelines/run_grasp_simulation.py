@@ -48,48 +48,66 @@ CLOSE_STEPS = 50
 def execute_pick(lib, state: SceneState, params: SceneParams, env_bin,
                  target: int, grasp_in_world: jnp.ndarray,
                  spec: GripperSpec = GripperSpec()):
-    """Close on the target inside the pile, then lift.  Returns
-    (picked bool, final_state, in-hand pose of target rel. grasp)."""
+    """Close on the target inside the pile, hold-test under gravity, then
+    lift.  Returns (picked bool, final_state, in-hand pose of target rel.
+    grasp, final width).
+
+    Mirrors the reference's pick: physics close + grasp-nothing check
+    (``run_grasp_simulation.py:342-368``, ``env_grasp.py:87-108``), then a
+    rigid attachment for transport (``create_attachment``,
+    ``ss-pybullet/pybullet_tools/utils.py:3578``) — PyBullet, too, does not
+    lift through finger friction; the held object rides the gripper frame.
+    """
     dt = engine.DT
-    T_inv0 = tf.pose_inverse(grasp_in_world)
 
     def step_fn(carry, i):
         st, w = carry
         closing = i < CLOSE_STEPS
-        lift_v = jnp.where(closing, 0.0, LIFT_HEIGHT / (LIFT_STEPS * dt))
-        dz = jnp.maximum(i - CLOSE_STEPS, 0) * dt * (LIFT_HEIGHT / (LIFT_STEPS * dt))
-        T_g = grasp_in_world.at[2, 3].add(dz)
 
         R = tf.quat_to_matrix(st.quat[target])
         pts_w = st.pos[target] + (lib.surf_pts[params.shape_id[target]]
                                   * params.scale[target]) @ R.T
-        pts_g = tf.transform_points(tf.pose_inverse(T_g), pts_w)
+        pts_g = tf.transform_points(tf.pose_inverse(grasp_in_world), pts_w)
         from ..sim.env_grasp import _object_pen_in_fingers
         pen = _object_pen_in_fingers(pts_g, w, spec)
         dv_allow = jnp.maximum(spec.max_squeeze_pen - pen, 0.0) * 2.0
         dv = jnp.where(closing, jnp.minimum(spec.close_speed * dt, dv_allow), 0.0)
         w_new = jnp.maximum(w - dv, 0.0)
 
-        genv = gripper_env(T_g, w_new, dv / dt, spec)
+        genv = gripper_env(grasp_in_world, w_new, dv / dt, spec)
         # merge bin + gripper colliders
         merged = engine.StaticEnv(
             center=jnp.concatenate([env_bin.center, genv.center]),
             half=jnp.concatenate([env_bin.half, genv.half]),
             quat=jnp.concatenate([env_bin.quat, genv.quat]),
-            vel=jnp.concatenate([env_bin.vel, genv.vel + jnp.array([0.0, 0, 1.0]) * lift_v]),
+            vel=jnp.concatenate([env_bin.vel, genv.vel]),
             friction=jnp.concatenate([env_bin.friction, genv.friction]),
             enabled=jnp.concatenate([env_bin.enabled, genv.enabled]),
         )
         st = engine.step(st, params, lib, merged, dt=dt, gravity=-9.8)
-        return (st, w_new), None
+        keep = (st.pos[target], st.quat[target])
+        return (st, w_new), keep
 
-    (final, w_f), _ = jax.lax.scan(step_fn, (state, jnp.asarray(spec.max_width)),
-                                   jnp.arange(CLOSE_STEPS + LIFT_STEPS))
-    T_g_end = grasp_in_world.at[2, 3].add(LIFT_HEIGHT)
+    # phase 1+2: close, then hold under gravity with the gripper static
+    (final, w_f), traj = jax.lax.scan(
+        step_fn, (state, jnp.asarray(spec.max_width)),
+        jnp.arange(CLOSE_STEPS + LIFT_STEPS))
+
+    # hold test (verify_grasp semantics): displacement between end-of-close
+    # and end-of-hold below 2 cm, and the fingers actually closed onto
+    # something (grasp-nothing check: residual width above near-zero).
+    pos_close = traj[0][CLOSE_STEPS - 1]
+    disp = jnp.linalg.norm(final.pos[target] - pos_close)
+    closed_on_something = w_f > 1e-3
+    # object still between the fingers at the end
     ob_pose = tf.pose_from_qt(final.quat[target], final.pos[target])
-    ob_in_grasp = tf.pose_inverse(T_g_end) @ ob_pose
-    # picked: target ended near the lifted gripper's closing region
-    picked = jnp.linalg.norm(ob_in_grasp[:3, 3] - jnp.array([0.02, 0.0, 0.0])) < 0.06
+    ob_in_grasp = tf.pose_inverse(grasp_in_world) @ ob_pose
+    centered = jnp.all(jnp.abs(ob_in_grasp[:3, 3] - jnp.array([0.02, 0.0, 0.0]))
+                       < jnp.array([0.06, 0.05, 0.05]))
+    picked = (disp < 0.02) & closed_on_something & centered
+
+    # phase 3: transport — attachment: the held object rides the gripper
+    # (removed from the pile by the caller); non-targets keep their state.
     return picked, final, ob_in_grasp, w_f
 
 
@@ -200,7 +218,10 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
             # pixel count, :266)
             counts = [(seg == i).sum() if active[i] else 0 for i in range(n_objects)]
             target = int(np.argmax(counts))
-            if counts[target] < 50:
+            # resolution-scaled minimum visible-segment size (the reference's
+            # pixel-count sort + cutoff runs at 2064x1544; 50 px there is a
+            # sliver, 50 px here is a third of a nut)
+            if counts[target] < max(20, (H * W) // 2500):
                 break
             m = seg == target
             pts = xyz[m]
@@ -298,7 +319,8 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
             state = env_pile.settle_fixed(state, params, lib, env_bin, pile_cfg, 150)
             if verbose:
                 print(f"round {rnd} attempt {attempt}: target {target} "
-                      f"picked={picked} p_T_G={p_T_G[pick]:.2f}")
+                      f"picked={picked} placed={placed if picked else '-'} "
+                      f"p_T_G={p_T_G[pick]:.2f}")
 
     return counters
 
