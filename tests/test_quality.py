@@ -1,0 +1,81 @@
+"""Analytic wrench-space grasp quality (grasp/quality.py) sanity physics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from catgrasp_tpu.grasp import quality as Q
+
+
+def _pad(pts, nrm, cap=16):
+    C = len(pts)
+    mask = np.zeros(cap, bool); mask[:C] = True
+    p = np.zeros((cap, 3), np.float32); p[:C] = pts
+    n = np.zeros((cap, 3), np.float32); n[:C] = nrm
+    return jnp.asarray(p), jnp.asarray(n), jnp.asarray(mask)
+
+
+def test_antipodal_pair_has_closure():
+    # pinch of a unit cube along x: contacts on opposite faces
+    p, n, m = _pad([[0.5, 0, 0], [-0.5, 0, 0]],
+                   [[-1, 0, 0], [1, 0, 0]])  # inward normals
+    q = Q.epsilon_quality(p, n, m, mu=0.5)
+    assert float(q) > 0.05
+
+    s = Q.antipodal_score(jnp.array([0.5, 0, 0]), jnp.array([-1.0, 0, 0]),
+                          jnp.array([-0.5, 0, 0]), jnp.array([1.0, 0, 0]))
+    assert float(s) > 0.999
+    assert bool(Q.force_closure(jnp.array([0.5, 0, 0]), jnp.array([-1.0, 0, 0]),
+                                jnp.array([-0.5, 0, 0]), jnp.array([1.0, 0, 0])))
+
+
+def test_single_contact_no_closure():
+    p, n, m = _pad([[0.5, 0, 0]], [[-1, 0, 0]])
+    assert float(Q.epsilon_quality(p, n, m, mu=0.5)) == 0.0
+
+
+def test_same_side_contacts_no_closure():
+    # both contacts on the same face pushing the same way: cannot resist +x
+    p, n, m = _pad([[0.5, 0.1, 0], [0.5, -0.1, 0]],
+                   [[-1, 0, 0], [-1, 0, 0]])
+    q = Q.epsilon_quality(p, n, m, mu=0.3, soft_fingers=False)
+    assert float(q) == 0.0
+
+
+def test_perpendicular_normals_fail_antipodal():
+    s = Q.antipodal_score(jnp.array([0.5, 0, 0]), jnp.array([0.0, 1, 0]),
+                          jnp.array([-0.5, 0, 0]), jnp.array([1.0, 0, 0]))
+    assert float(s) < 0.1
+    assert not bool(Q.force_closure(jnp.array([0.5, 0, 0]), jnp.array([0.0, 1, 0]),
+                                    jnp.array([-0.5, 0, 0]), jnp.array([1.0, 0, 0]),
+                                    mu=0.5))
+
+
+def test_more_friction_more_quality():
+    p, n, m = _pad([[0.5, 0, 0], [-0.5, 0, 0]], [[-1, 0, 0], [1, 0, 0]])
+    q_lo = float(Q.epsilon_quality(p, n, m, mu=0.2))
+    q_hi = float(Q.epsilon_quality(p, n, m, mu=0.9))
+    assert q_hi > q_lo > 0.0
+
+
+def test_batched_matches_single():
+    rng = np.random.default_rng(0)
+    G, C = 5, 8
+    pts = rng.normal(size=(G, C, 3)).astype(np.float32) * 0.05
+    nrm = rng.normal(size=(G, C, 3)).astype(np.float32)
+    msk = rng.uniform(size=(G, C)) > 0.3
+    qb = np.asarray(Q.epsilon_quality_batch(jnp.asarray(pts), jnp.asarray(nrm),
+                                            jnp.asarray(msk)))
+    for g in range(G):
+        q1 = float(Q.epsilon_quality(jnp.asarray(pts[g]), jnp.asarray(nrm[g]),
+                                     jnp.asarray(msk[g])))
+        np.testing.assert_allclose(qb[g], q1, rtol=1e-5, atol=1e-6)
+
+
+def test_isotropy_degenerate_vs_spread():
+    # two collinear contacts -> low isotropy; 3 orthogonal -> higher
+    p1, n1, m1 = _pad([[0.5, 0, 0], [-0.5, 0, 0]], [[-1, 0, 0], [1, 0, 0]])
+    p2, n2, m2 = _pad([[0.5, 0, 0], [-0.5, 0, 0], [0, 0.5, 0], [0, 0, 0.5]],
+                      [[-1, 0, 0], [1, 0, 0], [0, -1, 0], [0, 0, -1]])
+    i1 = float(Q.grasp_isotropy(p1, n1, m1))
+    i2 = float(Q.grasp_isotropy(p2, n2, m2))
+    assert i2 > i1
