@@ -152,7 +152,12 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                           oracle: bool = True, canonical: dict | None = None,
                           predicters: dict | None = None, seed: int = 0,
                           max_attempts_per_round: int = 8,
-                          render_hw=(192, 256), verbose: bool = True):
+                          render_hw=(192, 256), verbose: bool = True,
+                          metrics_path: str | None = None):
+    from ..utils.metrics import MetricsLogger
+
+    mlog = MetricsLogger(metrics_path, run="eval", class_name=class_name,
+                         seed=seed, oracle=oracle)
     cfg_run = cfg_run or load_config("config_run.yml")
     gripper = Gripper.default()
     spec = gripper.spec
@@ -295,9 +300,11 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
 
             # --- execute pick ----------------------------------------------
             counters.num_attempts += 1
+            # target is traced (dynamic index) — one compile serves every
+            # target/attempt instead of one per pile slot
             picked, state_after, ob_in_grasp, w_f = jax.jit(
-                execute_pick, static_argnames=("target", "spec"))(
-                lib, state, params, env_bin, target, grasp_world, spec)
+                execute_pick, static_argnames=("spec",))(
+                lib, state, params, env_bin, jnp.int32(target), grasp_world, spec)
             picked = bool(picked)
             if picked:
                 counters.num_stable_grasp += 1
@@ -317,11 +324,18 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
             state = state_after.replace(
                 active=state_after.active.at[target].set(~jnp.bool_(picked)))
             state = env_pile.settle_fixed(state, params, lib, env_bin, pile_cfg, 150)
+            mlog.event("attempt", round=rnd, attempt=attempt, target=target,
+                       n_candidates=len(grasps_cam), picked=picked,
+                       placed=bool(picked and placed),
+                       p_G=float(p_G[pick]), p_T_given_G=float(p_T_given_G[pick]),
+                       p_T_G=float(p_T_G[pick]))
             if verbose:
                 print(f"round {rnd} attempt {attempt}: target {target} "
                       f"picked={picked} placed={placed if picked else '-'} "
                       f"p_T_G={p_T_G[pick]:.2f}")
 
+    mlog.event("tally", **counters.__dict__)
+    mlog.close()
     return counters
 
 
@@ -333,6 +347,7 @@ def main():
     ap.add_argument("--canonical", default=None)
     ap.add_argument("--oracle", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--metrics", default=None, help="JSONL metrics path")
     args = ap.parse_args()
 
     cfg_run = load_config("config_run.yml")
@@ -340,7 +355,8 @@ def main():
     canonical = dict(np.load(args.canonical)) if args.canonical else None
     c = simulate_grasp_rounds(class_name, args.n_rounds, args.n_objects,
                               cfg_run, oracle=bool(args.oracle),
-                              canonical=canonical, seed=args.seed)
+                              canonical=canonical, seed=args.seed,
+                              metrics_path=args.metrics)
     print(f"num_objects={c.num_objects} num_attempts={c.num_attempts} "
           f"num_stable_grasp={c.num_stable_grasp} "
           f"num_task_grasp_succ={c.num_task_grasp_succ}")

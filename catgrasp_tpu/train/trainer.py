@@ -106,30 +106,44 @@ class Trainer:
 
     def fit(self, state: TrainState, n_epochs: int | None = None,
             log_every: int = 50, verbose: bool = True) -> TrainState:
+        from ..utils.metrics import MetricsLogger
+        from ..utils import profiling
+
         n_epochs = n_epochs or self.cfg.get("n_epochs", 1)
         step_fn = make_train_step(self.loss_fn, self.mesh)
         rng = jax.random.PRNGKey(self.cfg.get("random_seed", 0))
         os.makedirs(self.ckpt_dir, exist_ok=True)
+        mlog = MetricsLogger(f"{self.ckpt_dir}/metrics.jsonl",
+                             run=type(self.model).__name__)
+        sw = profiling.Stopwatch()
         for epoch in range(n_epochs):
             losses = []
-            for i, batch in enumerate(self.train_data()):
-                rng, sub = jax.random.split(rng)
-                batch = jax.tree.map(jnp.asarray, batch)
-                state, loss, _ = step_fn(state, batch, sub)
-                losses.append(float(loss))
-                if verbose and i % log_every == 0:
-                    print(f"epoch {epoch} it {i} loss {losses[-1]:.4f}")
+            with profiling.trace():  # CATGRASP_TRACE_DIR gates capture
+                for i, batch in enumerate(self.train_data()):
+                    rng, sub = jax.random.split(rng)
+                    batch = jax.tree.map(jnp.asarray, batch)
+                    with sw.section("train_step"):
+                        state, loss, _ = step_fn(state, batch, sub)
+                    losses.append(float(loss))
+                    if verbose and i % log_every == 0:
+                        print(f"epoch {epoch} it {i} loss {losses[-1]:.4f}")
             train_loss = float(np.mean(losses)) if losses else float("inf")
+            rec = {"epoch": epoch, "train_loss": train_loss}
             if train_loss < self.best_train:
                 self.best_train = train_loss
                 save_checkpoint(f"{self.ckpt_dir}/best_train.ckpt", state, epoch)
             if self.val_data is not None:
-                val_loss = self.evaluate(state)
+                with sw.section("evaluate"):
+                    val_loss = self.evaluate(state)
+                rec["val_loss"] = val_loss
                 if val_loss < self.best_val:
                     self.best_val = val_loss
                     save_checkpoint(f"{self.ckpt_dir}/best_val.ckpt", state, epoch)
                 if verbose:
                     print(f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f}")
+            mlog.event("epoch", **rec)
+        mlog.event("timing", **sw.report())
+        mlog.close()
         return state
 
     def evaluate(self, state: TrainState) -> float:
