@@ -78,6 +78,16 @@ def _cull_out_of_bin(state: SceneState, cfg: PileConfig) -> SceneState:
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def step(state: SceneState, params: SceneParams, lib: ShapeLib,
+         env: engine.StaticEnv, cfg: PileConfig) -> SceneState:
+    """One env step — the ``p.stepSimulation`` unit of the reference's
+    ``Env`` (``env_base.py``/``env.py``): one physics step plus out-of-bin
+    culling.  Pure function of the state pytree: vmap over scenes, jit, or
+    scan for rollouts."""
+    st = engine.step(state, params, lib, env, dt=cfg.dt)
+    return _cull_out_of_bin(st, cfg)
+
+
 def settle(state: SceneState, params: SceneParams, lib: ShapeLib,
            env: engine.StaticEnv, cfg: PileConfig):
     """Step in chunks until max body motion per chunk < threshold, with an
@@ -106,6 +116,10 @@ def settle_fixed(state: SceneState, params: SceneParams, lib: ShapeLib,
     diverge."""
     st = engine.rollout(state, params, lib, env, n_steps, dt=cfg.dt)
     return _cull_out_of_bin(st, cfg)
+
+
+# reference-name alias (``env.py:299-344``)
+simulation_until_stable = settle
 
 
 def make_pile_batch(key: jax.Array, lib: ShapeLib, cfg: PileConfig, batch: int,
