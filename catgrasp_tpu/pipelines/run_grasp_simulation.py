@@ -215,24 +215,47 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
             if not active.any():
                 break
             out = raymarch.render(lib, state, params, Kc, cam_j, H, W, env=env_bin)
-            seg = np.asarray(out["seg"])
+            seg_body = np.asarray(out["seg"])  # ground-truth body ids
             xyz = np.asarray(out["xyz"])
             normal = np.asarray(out["normal"])
 
-            # segment choice: largest visible segment (reference sorts by
-            # pixel count, :266)
-            counts = [(seg == i).sum() if active[i] else 0 for i in range(n_objects)]
-            target = int(np.argmax(counts))
-            # resolution-scaled minimum visible-segment size (the reference's
-            # pixel-count sort + cutoff runs at 2064x1544; 50 px there is a
-            # sliver, 50 px here is a third of a nut)
-            if counts[target] < max(20, (H * W) // 2500):
-                break
-            m = seg == target
+            min_px = max(20, (H * W) // 2500)
+            if not oracle and predicters and "seg" in predicters:
+                # learned instance segmentation (seg net + MeanShift), as the
+                # reference's PointGroupPredictor path (:213)
+                vm = seg_body >= 0
+                labels, n_seg = predicters["seg"].predict(xyz[vm], normal[vm])
+                seg = np.full(seg_body.shape, -1, np.int64)
+                seg[vm] = labels
+                counts = [(seg == i).sum() for i in range(max(n_seg, 1))]
+                seg_pick = int(np.argmax(counts))
+                m = seg == seg_pick
+                # sim-side bookkeeping only: which BODY did perception pick?
+                # (the reference needs no such map — PyBullet grasps whatever
+                # the gripper touches; our closing law tracks one body)
+                inside = seg_body[m & (seg_body >= 0)]
+                if counts[seg_pick] < min_px or len(inside) == 0:
+                    break
+                target = int(np.bincount(inside, minlength=n_objects).argmax())
+                if not active[target]:
+                    break
+            else:
+                # segment choice: largest visible segment (reference sorts by
+                # pixel count, :266)
+                seg = seg_body
+                counts = [(seg == i).sum() if active[i] else 0
+                          for i in range(n_objects)]
+                target = int(np.argmax(counts))
+                # resolution-scaled minimum visible-segment size (the
+                # reference's cutoff runs at 2064x1544; 50 px there is a
+                # sliver, 50 px here is a third of a nut)
+                if counts[target] < min_px:
+                    break
+                m = seg == target
             pts = xyz[m]
             nrm = normal[m]
             # background = everything else that is visible
-            bg_m = (seg != target) & (seg != -1)
+            bg_m = ~m & (seg_body != -1)
             bg = xyz[bg_m]
             if len(bg) == 0:
                 bg = np.full((1, 3), 999.0, np.float32)
@@ -345,6 +368,9 @@ def main():
     ap.add_argument("--n_rounds", type=int, default=2)
     ap.add_argument("--n_objects", type=int, default=5)
     ap.add_argument("--canonical", default=None)
+    ap.add_argument("--artifacts", default=None,
+                    help="artifact dir with nunocs/grasp/seg checkpoints "
+                         "(enables learned perception; use with --oracle 0)")
     ap.add_argument("--oracle", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--metrics", default=None, help="JSONL metrics path")
@@ -353,10 +379,15 @@ def main():
     cfg_run = load_config("config_run.yml")
     class_name = args.class_name or cfg_run.get("class_name", "nut")
     canonical = dict(np.load(args.canonical)) if args.canonical else None
+    predicters = None
+    if args.artifacts:
+        from ..predict.artifacts import load_predicters
+        predicters = load_predicters(args.artifacts, class_name)
+        print(f"loaded predicters: {sorted(predicters)}")
     c = simulate_grasp_rounds(class_name, args.n_rounds, args.n_objects,
                               cfg_run, oracle=bool(args.oracle),
-                              canonical=canonical, seed=args.seed,
-                              metrics_path=args.metrics)
+                              canonical=canonical, predicters=predicters,
+                              seed=args.seed, metrics_path=args.metrics)
     print(f"num_objects={c.num_objects} num_attempts={c.num_attempts} "
           f"num_stable_grasp={c.num_stable_grasp} "
           f"num_task_grasp_succ={c.num_task_grasp_succ}")
