@@ -45,27 +45,39 @@ def occupancy_from_depth(depth: jnp.ndarray, K: jnp.ndarray,
 
 def background_cloud_from_depth(depth: jnp.ndarray, K: jnp.ndarray,
                                 seg: jnp.ndarray, target_id: int,
-                                grid_dims: tuple = (64, 64, 32), pad: float = 0.005):
+                                grid_dims: tuple = (64, 64, 32),
+                                pad: float = 0.005,
+                                center: jnp.ndarray | None = None,
+                                reach: float = 0.12):
     """Collision cloud for grasp filtering around one target segment: all
     occupied voxels EXCEPT the target object's own surface — the
     ``compute_candidate_grasp_one_ob`` usage (``run_grasp_simulation.py:139``).
 
+    The grid spans only the gripper-reachable AABB (``center ± reach``; the
+    reference's octree is 0.5 mm leaves — a bin-wide coarse grid would
+    quantize neighbors into the finger sweep and reject every grasp), so
+    cells stay at millimetre scale with modest ``grid_dims``.
+
     Returns (points (V,3), mask (V,)) fixed-shape.
     """
     valid = depth > 0
-    xyz_z = depth
-    lower = jnp.array([
-        jnp.min(jnp.where(valid, _x_of(depth, K), jnp.inf)),
-        jnp.min(jnp.where(valid, _y_of(depth, K), jnp.inf)),
-        jnp.min(jnp.where(valid, depth, jnp.inf)),
-    ])
-    upper = jnp.array([
-        jnp.max(jnp.where(valid, _x_of(depth, K), -jnp.inf)),
-        jnp.max(jnp.where(valid, _y_of(depth, K), -jnp.inf)),
-        jnp.max(jnp.where(valid, depth, -jnp.inf)),
-    ])
+    if center is None:
+        lower = jnp.array([
+            jnp.min(jnp.where(valid, _x_of(depth, K), jnp.inf)),
+            jnp.min(jnp.where(valid, _y_of(depth, K), jnp.inf)),
+            jnp.min(jnp.where(valid, depth, jnp.inf)),
+        ])
+        upper = jnp.array([
+            jnp.max(jnp.where(valid, _x_of(depth, K), -jnp.inf)),
+            jnp.max(jnp.where(valid, _y_of(depth, K), -jnp.inf)),
+            jnp.max(jnp.where(valid, depth, -jnp.inf)),
+        ]) + pad
+        lower = lower - pad
+    else:
+        lower = center - reach
+        upper = center + reach
     depth_bg = jnp.where(seg == target_id, 0.0, depth)
-    centers, occ = occupancy_from_depth(depth_bg, K, lower - pad, upper + pad,
+    centers, occ = occupancy_from_depth(depth_bg, K, lower, upper,
                                         grid_dims, pad)
     return centers, occ
 

@@ -51,11 +51,15 @@ def _static_open_boxes(spec: GripperSpec) -> tuple:
 
 
 def _static_enclosed_box(spec: GripperSpec) -> tuple:
-    """Swept closing volume between the fingers (the reference's
-    ``gripper_enclosed`` mesh test, ``common.cpp:241-249``)."""
+    """Between-fingers closing volume (the reference's ``gripper_enclosed``
+    mesh test, ``common.cpp:241-249``): anything NON-target inside the air
+    gap the fingers close through gets squeezed -> reject.  Bounded by the
+    finger INNER faces (max_width/2) — including the finger bodies here
+    would veto valid grasps whenever a neighbor sits beside the closed
+    finger's resting position."""
     center = ((spec.finger_len / 2, 0.0, 0.0),)
     half = ((spec.finger_len / 2,
-             spec.max_width / 2 + spec.finger_thickness,
+             spec.max_width / 2,
              spec.finger_depth / 2),)
     return pallas_collision.as_static_boxes(center, half)
 
@@ -157,7 +161,7 @@ def filter_grasp_poses(
         open_centers, open_halves = finger_boxes(jnp.asarray(spec.max_width), spec)
         enc_center = jnp.array([[spec.finger_len / 2, 0.0, 0.0]])
         enc_half = jnp.array([[spec.finger_len / 2,
-                               spec.max_width / 2 + spec.finger_thickness,
+                               spec.max_width / 2,
                                spec.finger_depth / 2]])
 
         def collide_one(T_i):

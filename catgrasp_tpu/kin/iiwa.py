@@ -200,9 +200,17 @@ def ik_best(T: jnp.ndarray, q_ref: jnp.ndarray | None = None, n_psi: int = N_PSI
 ik_batch = jax.vmap(ik, in_axes=(0, None))
 
 
-def ik_feasible(Ts: jnp.ndarray, n_psi: int = N_PSI) -> jnp.ndarray:
+def ik_feasible(Ts: jnp.ndarray, n_psi: int = N_PSI,
+                chunk: int = 8192) -> jnp.ndarray:
     """Vectorized IK-feasibility gate over poses (B, 4, 4) -> (B,) bool.
     Replaces the per-pose ikfast call inside ``filterGraspPose``
-    (``common.cpp:214-226``)."""
-    _, valid = ik_batch(Ts, n_psi)
-    return jnp.any(valid, axis=-1)
+    (``common.cpp:214-226``).
+
+    Chunked with ``lax.map`` so the branch-expansion temporaries (8*n_psi
+    candidate solutions per pose, each with a handful of 3x3 intermediates)
+    stay bounded — unchunked, 100k+ poses exhaust HBM."""
+    def gate(T):
+        _, valid = ik(T, n_psi)
+        return jnp.any(valid, axis=-1)
+
+    return jax.lax.map(gate, Ts, batch_size=min(chunk, max(Ts.shape[0], 1)))

@@ -91,6 +91,7 @@ def generate_scenes(class_name: str, split: str, n_scenes: int, out_dir: str,
             ob_in_world = np.asarray(tf.pose_from_qt(jnp.asarray(states.quat[b]), jnp.asarray(states.pos[b])))
             np.savez_compressed(
                 f"{out_dir}/{scene_id:07d}.npz",
+                rgb=(outs["rgb"][b] * 255).astype(np.uint8),
                 depth=outs["depth"][b], seg=outs["seg"][b], nocs=outs["nocs"][b],
                 normal=outs["normal"][b], xyz=outs["xyz"][b],
                 ob_in_world=ob_in_world.astype(np.float32),

@@ -26,6 +26,7 @@ from ..config.loader import load_config
 from ..core import transforms as tf
 from ..core.symmetry import get_symmetry_tfs
 from ..geom import csg as csglib
+from ..geom import occupancy
 from ..geom import primitives as prim
 from ..grasp.gripper import Gripper
 from ..grasp.sampler import NocsTransferGraspSampler, PointConeGraspSampler
@@ -185,10 +186,13 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
 
     sym = get_symmetry_tfs(class_name)
     counters = EvalCounters()
+    # reference sampler params verbatim (config_run.yml): coarsening the
+    # approach step skips the few-mm window where finger tips clear the
+    # floor yet still pinch low-profile parts (nut height ~= 8 mm)
     cone = PointConeGraspSampler(
         gripper, max_num_samples=24,
-        n_sphere_dir=int(cfg_run.get("cone_grasp_smapler_n_sphere_dir", 30)) // 3,
-        approach_step=float(cfg_run.get("cone_grasp_smapler_approach_step", 0.002)) * 3,
+        n_sphere_dir=int(cfg_run.get("cone_grasp_smapler_n_sphere_dir", 30)),
+        approach_step=float(cfg_run.get("cone_grasp_smapler_approach_step", 0.002)),
     )
     nocs_sampler = None
     if canonical is not None and len(canonical.get("canonical_grasps", [])):
@@ -227,75 +231,95 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                 labels, n_seg = predicters["seg"].predict(xyz[vm], normal[vm])
                 seg = np.full(seg_body.shape, -1, np.int64)
                 seg[vm] = labels
-                counts = [(seg == i).sum() for i in range(max(n_seg, 1))]
-                seg_pick = int(np.argmax(counts))
-                m = seg == seg_pick
-                # sim-side bookkeeping only: which BODY did perception pick?
-                # (the reference needs no such map — PyBullet grasps whatever
-                # the gripper touches; our closing law tracks one body)
-                inside = seg_body[m & (seg_body >= 0)]
-                if counts[seg_pick] < min_px or len(inside) == 0:
-                    break
-                target = int(np.bincount(inside, minlength=n_objects).argmax())
-                if not active[target]:
-                    break
+                seg_ids = list(range(max(n_seg, 1)))
             else:
-                # segment choice: largest visible segment (reference sorts by
-                # pixel count, :266)
                 seg = seg_body
-                counts = [(seg == i).sum() if active[i] else 0
-                          for i in range(n_objects)]
-                target = int(np.argmax(counts))
-                # resolution-scaled minimum visible-segment size (the
-                # reference's cutoff runs at 2064x1544; 50 px there is a
-                # sliver, 50 px here is a third of a nut)
-                if counts[target] < min_px:
-                    break
-                m = seg == target
-            pts = xyz[m]
-            nrm = normal[m]
-            # background = everything else that is visible
-            bg_m = ~m & (seg_body != -1)
-            bg = xyz[bg_m]
-            if len(bg) == 0:
-                bg = np.full((1, 3), 999.0, np.float32)
+                seg_ids = [i for i in range(n_objects) if active[i]]
 
-            # --- pose estimation (oracle or net) ---------------------------
-            # nocs_pose maps CENTERED NUNOCS ([-0.5,0.5]^3) -> camera frame
-            if oracle:
-                ob_in_cam = T_wc @ np.asarray(tf.pose_from_qt(state.quat[target], state.pos[target]))
-                s = float(scale[target])
-                mesh_idx = int(shape_id[target])
-                T_nocs = to_nunocs_transform(meshes[mesh_idx].vertices * s)
-                nocs_pose = (ob_in_cam @ np.linalg.inv(T_nocs)).astype(np.float32)
-            else:
-                res = predicters["nocs"].predict(pts, nrm)
-                if not res["valid"]:
-                    break
-                nocs_pose = res["nocs_pose"].astype(np.float32)
+            # the reference tries EVERY segment sorted by pixel count (:266),
+            # yielding from the first that produces candidates
+            seg_ids = sorted(seg_ids, key=lambda i: -(seg == i).sum())
+            found = None
+            for sid in seg_ids:
+                m = seg == sid
+                if m.sum() < min_px:
+                    break  # sorted: the rest are smaller
+                if not oracle and predicters and "seg" in predicters:
+                    # sim-side bookkeeping only: which BODY did perception
+                    # pick? (the reference needs no such map — PyBullet
+                    # grasps whatever the gripper touches; our closing law
+                    # tracks one body)
+                    inside = seg_body[m & (seg_body >= 0)]
+                    if len(inside) == 0:
+                        continue
+                    target = int(np.bincount(inside, minlength=n_objects).argmax())
+                    if not active[target]:
+                        continue
+                else:
+                    target = sid
+                pts = xyz[m]
+                nrm = normal[m]
+                # background = visible non-target points + occupancy-
+                # densified occluded space (makeOccupancyGridFromCloudScan
+                # at reference run_grasp_simulation.py:139)
+                bg_m = ~m & (seg_body != -1)
+                depth_img = np.asarray(out["depth"])
+                occ_c, occ_m = occupancy.background_cloud_from_depth(
+                    jnp.asarray(np.where(m, 0.0, depth_img)), Kc,
+                    jnp.asarray(seg), -1, grid_dims=(64, 64, 64),
+                    pad=1e-3, center=jnp.asarray(pts.mean(0)), reach=0.1)
+                occ_pts = np.asarray(occ_c)[np.asarray(occ_m)]
+                bg = np.concatenate([xyz[bg_m], occ_pts.astype(np.float32)])
+                if len(bg) == 0:
+                    bg = np.full((1, 3), 999.0, np.float32)
+                elif len(bg) > 2048:
+                    bg = bg[rng.choice(len(bg), 2048, replace=False)]
 
-            # --- sample + filter grasps ------------------------------------
-            key, k2 = jax.random.split(key)
-            n_sub = min(len(pts), 512)
-            ids = rng.choice(len(pts), n_sub, replace=False)
-            poses_c, valid_c, _ = cone.sample_grasps(
-                k2, pts[ids], nrm[ids], background_cloud=bg[:2048],
-                background_mask=np.ones(min(len(bg), 2048), bool),
-                cam_in_world=jnp.asarray(cam), filter_ik=True, chunk=128)
-            cand = [np.asarray(poses_c)[np.asarray(valid_c)]]
-            if nocs_sampler is not None:
-                poses_n, valid_n, _ = nocs_sampler.sample_grasps(
-                    nocs_pose=jnp.asarray(nocs_pose), symmetry_tfs=jnp.asarray(sym),
-                    background_cloud=bg[:2048],
+                # --- pose estimation (oracle or net) -----------------------
+                # nocs_pose maps CENTERED NUNOCS ([-0.5,0.5]^3) -> cam frame
+                if oracle:
+                    ob_in_cam = T_wc @ np.asarray(
+                        tf.pose_from_qt(state.quat[target], state.pos[target]))
+                    s = float(scale[target])
+                    mesh_idx = int(shape_id[target])
+                    T_nocs = to_nunocs_transform(meshes[mesh_idx].vertices * s)
+                    nocs_pose = (ob_in_cam @ np.linalg.inv(T_nocs)).astype(np.float32)
+                else:
+                    res = predicters["nocs"].predict(pts, nrm)
+                    if not res["valid"]:
+                        continue
+                    nocs_pose = res["nocs_pose"].astype(np.float32)
+
+                # --- sample + filter grasps --------------------------------
+                key, k2 = jax.random.split(key)
+                n_sub = min(len(pts), 512)
+                ids = rng.choice(len(pts), n_sub, replace=False)
+                poses_c, valid_c, _ = cone.sample_grasps(
+                    k2, pts[ids], nrm[ids], background_cloud=bg[:2048],
                     background_mask=np.ones(min(len(bg), 2048), bool),
-                    collision_cloud=pts[ids], collision_mask=np.ones(n_sub, bool),
                     cam_in_world=jnp.asarray(cam), filter_ik=True, chunk=128)
-                cand.append(np.asarray(poses_n)[np.asarray(valid_n)])
-            grasps_cam = np.concatenate(cand) if any(len(c) for c in cand) else np.zeros((0, 4, 4))
-            if len(grasps_cam) == 0:
+                cand = [np.asarray(poses_c)[np.asarray(valid_c)]]
+                if nocs_sampler is not None:
+                    poses_n, valid_n, _ = nocs_sampler.sample_grasps(
+                        nocs_pose=jnp.asarray(nocs_pose),
+                        symmetry_tfs=jnp.asarray(sym),
+                        background_cloud=bg[:2048],
+                        background_mask=np.ones(min(len(bg), 2048), bool),
+                        collision_cloud=pts[ids],
+                        collision_mask=np.ones(n_sub, bool),
+                        cam_in_world=jnp.asarray(cam), filter_ik=True, chunk=128)
+                    cand.append(np.asarray(poses_n)[np.asarray(valid_n)])
+                grasps_cam = (np.concatenate(cand) if any(len(c) for c in cand)
+                              else np.zeros((0, 4, 4)))
+                if len(grasps_cam):
+                    found = (m, target, pts, nrm, nocs_pose, grasps_cam)
+                    break
+            if found is None:
                 if verbose:
-                    print(f"round {rnd} attempt {attempt}: no grasp candidates")
+                    print(f"round {rnd} attempt {attempt}: no grasp candidates"
+                          f" on any of {len(seg_ids)} segments")
                 break
+            m, target, pts, nrm, nocs_pose, grasps_cam = found
             if len(grasps_cam) > 128:
                 grasps_cam = grasps_cam[rng.choice(len(grasps_cam), 128, replace=False)]
 

@@ -139,8 +139,21 @@ def render(lib: ShapeLib, state: SceneState, params: SceneParams,
     xyz_cam = tf.transform_points(T_cw, x)
     xyz_cam = jnp.where((seg != -1)[:, None], xyz_cam, 0.0)
 
+    # rgb: headlight Lambertian over a per-body albedo palette (the
+    # reference saves TinyRenderer rgb.png per scene; no net consumes color,
+    # so flat shading is sufficient and costs one dot product)
+    palette = jnp.array([[0.85, 0.55, 0.35], [0.40, 0.65, 0.85],
+                         [0.55, 0.80, 0.45], [0.85, 0.75, 0.35],
+                         [0.70, 0.45, 0.75], [0.50, 0.50, 0.50]])
+    albedo = palette[jnp.abs(body) % len(palette)]
+    albedo = jnp.where((seg == -2)[:, None], 0.35, albedo)  # env gray
+    lambert = jnp.clip(-jnp.sum(normal * d_cam.reshape(-1, 3), axis=-1), 0.0, 1.0)
+    rgb = albedo * (0.25 + 0.75 * lambert[:, None])
+    rgb = jnp.where((seg != -1)[:, None], rgb, 0.0)
+
     shp = (H, W)
     return {
+        "rgb": rgb.reshape(shp + (3,)),
         "depth": depth.reshape(shp),
         "seg": seg.reshape(shp),
         "nocs": nocs.reshape(shp + (3,)),

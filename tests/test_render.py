@@ -58,6 +58,26 @@ def test_render_normals_cam_frame_toward_camera():
     assert flat.mean() > 0.3
 
 
+def test_render_rgb_shaded():
+    lib, state, params = _one_object_scene()
+    H = W = 64
+    K = jnp.array([[300.0, 0, W / 2], [0, 300.0, H / 2], [0, 0, 1.0]])
+    out = raymarch.render(lib, state, params, K, _cam(0.35), H, W)
+    rgb = np.asarray(out["rgb"])
+    seg = np.asarray(out["seg"])
+    assert rgb.shape == (H, W, 3)
+    assert (rgb >= 0).all() and (rgb <= 1).all()
+    assert rgb[seg == -1].max() == 0.0           # misses are black
+    assert rgb[seg == 0].mean() > 0.1            # object lit
+    # flat top face brighter than grazing side pixels (Lambertian)
+    m = seg == 0
+    nz = np.asarray(out["normal"])[..., 2]
+    flat = m & (nz < -0.95)
+    side = m & (nz > -0.5)
+    if flat.any() and side.any():
+        assert rgb[flat].mean() > rgb[side].mean()
+
+
 def test_render_depth_matches_xyz_z():
     lib, state, params = _one_object_scene()
     H = W = 64
