@@ -47,9 +47,14 @@ def make_optimizer(cfg: dict, steps_per_epoch: int):
     sched = multistep_lr(cfg.get("start_lr", 0.01), cfg.get("batch_size", 32),
                          cfg.get("lr_milestones", []), steps_per_epoch)
     wd = cfg.get("weight_decay", 0.0)
+    # global-norm clip: the reference's lr formula reaches ~0.04 for Adam at
+    # batch 240, which diverges on small datasets; clipping keeps the same
+    # schedule stable (reference has none, but it also never resumes or
+    # varies dataset size)
+    clip = optax.clip_by_global_norm(cfg.get("grad_clip_norm", 1.0))
     if cfg.get("optimizer_type", "adam") == "adam":
-        return optax.chain(optax.add_decayed_weights(wd), optax.adam(sched))
-    return optax.sgd(sched, momentum=0.9)
+        return optax.chain(clip, optax.add_decayed_weights(wd), optax.adam(sched))
+    return optax.chain(clip, optax.sgd(sched, momentum=0.9))
 
 
 def create_state(model, cfg: dict, example_input: jnp.ndarray,
