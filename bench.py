@@ -53,6 +53,10 @@ def main():
     for _ in range(n_calls):
         states = run(states)
     jax.block_until_ready(states)
+    # force a real device->host readback: on tunneled/async PJRT runtimes
+    # block_until_ready can return before execution finishes, which would
+    # inflate the number
+    float(jnp.sum(states.pos))
     dt_wall = time.perf_counter() - t0
 
     env_steps = batch * steps_per_call * n_calls

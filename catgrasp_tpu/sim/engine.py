@@ -95,10 +95,14 @@ def box_sdf_and_normal(p_local: jnp.ndarray, half: jnp.ndarray):
     d_out = jnp.linalg.norm(outside_vec, axis=-1)
     d_in = jnp.minimum(jnp.max(q, axis=-1), 0.0)
     d = d_out + d_in
-    # normal: outside -> direction from closest point; inside -> axis of max q
+    # normal: outside -> direction from closest point; inside -> axis of max
+    # q via a one-hot contraction (take_along_axis would compile to a gather
+    # and serialize the vmapped narrowphase)
     n_out = outside_vec * jnp.sign(p_local)
-    inside_axis = jnp.argmax(q, axis=-1)
-    n_in = jax.nn.one_hot(inside_axis, 3) * jnp.sign(jnp.take_along_axis(p_local, inside_axis[..., None], axis=-1))
+    qmax = jnp.max(q, axis=-1, keepdims=True)
+    oh = (q >= qmax).astype(p_local.dtype)
+    oh = oh / jnp.sum(oh, axis=-1, keepdims=True)
+    n_in = oh * jnp.sign(p_local)
     n = jnp.where((d_out > 0)[..., None], n_out, n_in)
     return d, n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
 

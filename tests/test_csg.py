@@ -65,3 +65,27 @@ def test_make_csg_instance_matches_mesh(rng):
         d_csg = np.asarray(csglib.csg_sdf(shape, jnp.asarray(pts)))
         d_mesh = np.asarray(sdflib.mesh_sdf_points(jnp.asarray(pts), mesh.vertices, mesh.faces, chunk=128))
         np.testing.assert_allclose(d_csg, d_mesh, atol=2e-3)
+
+
+def test_analytic_normals_match_autodiff():
+    """csg_sdf_and_normal (analytic, hot path) vs autodiff oracle."""
+    import numpy as np
+    import jax.numpy as jnp
+    from catgrasp_tpu.geom import csg as csglib
+
+    rng = np.random.default_rng(0)
+    shapes = [csglib.make_csg_instance(c, "train", i)
+              for c in ("nut", "screw", "hnm") for i in (0, 1)]
+    shapes.append(csglib.csg_place_fixture("nut"))
+    for shape in shapes:
+        pts = jnp.asarray(rng.uniform(-0.05, 0.05, (512, 3)).astype(np.float32))
+        d1, n1 = csglib.csg_sdf_and_normal(shape, pts)
+        d2, n2 = csglib.csg_sdf_and_normal_ad(shape, pts)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                                   atol=1e-5, rtol=1e-4)
+        # normals: compare away from CSG seams/edges where argmax ties flip
+        dots = np.sum(np.asarray(n1) * np.asarray(n2), axis=-1)
+        assert (dots > 0.999).mean() > 0.97, f"normal mismatch {(dots <= 0.999).mean()}"
+        # and the analytic phi matches the plain evaluator exactly
+        d3 = csglib.csg_sdf(shape, pts)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d3), atol=2e-6)
