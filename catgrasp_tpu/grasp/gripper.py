@@ -82,6 +82,9 @@ class Gripper:
         # flange behind the palm looking along +x of the grasp frame:
         # R maps flange z->grasp x, flange x->grasp y, flange y->grasp z
         ee[:3, :3] = np.array([[0, 0, 1], [1, 0, 0], [0, 1, 0]], dtype=np.float32).T
-        ee[:3, 3] = [-spec.palm_depth - 0.02, 0, 0]
+        # flange->finger-root distance: Robotiq Hand-E body (~0.10 m) +
+        # coupling; a too-short offset sinks the wrist capsule into the pile
+        # at grasp poses and makes every RRT goal collide
+        ee[:3, 3] = [-spec.palm_depth - 0.09, 0, 0]
         return Gripper(spec=spec, mesh_open=mesh_open, mesh_enclosed=mesh_enclosed,
                        params=params, ee_in_grasp=ee)

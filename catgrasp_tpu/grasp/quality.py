@@ -141,6 +141,48 @@ def force_closure(p1, n1, p2, n2, mu: float = 0.5) -> jnp.ndarray:
     return antipodal_score(p1, n1, p2, n2) >= jnp.cos(jnp.arctan(mu))
 
 
+@partial(jax.jit, static_argnames=("spec", "n_pts"))
+def parallel_jaw_quality(cloud: jnp.ndarray, normals: jnp.ndarray,
+                         grasps: jnp.ndarray, spec, n_pts: int = 512,
+                         mu: float = 0.5, surface_tol: float = 0.004) -> jnp.ndarray:
+    """Analytic grasp-quality proxy for a batch of parallel-jaw grasps.
+
+    For each grasp: transform the object cloud into the grasp frame,
+    estimate the closing width from the y-extent of points inside the
+    closing region, take the points each finger would touch as contacts
+    (inward normals = -/+ closing axis), and score with the Ferrari-Canny
+    lower bound about the contact centroid.  Zero when a finger touches
+    nothing.  This is the ranking the reference gets from its trained
+    PointNet quality net (p_G); analytically it is dexnet's wrench metric
+    on the same contact model.
+    """
+    cloud = cloud[:n_pts]
+    normals = normals[:n_pts]
+
+    def one(T):
+        R = T[:3, :3]
+        t = T[:3, 3]
+        pg = (cloud - t) @ R  # grasp frame
+        inside_x = (pg[:, 0] > 0.0) & (pg[:, 0] < spec.finger_len)
+        inside_z = jnp.abs(pg[:, 2]) < spec.finger_depth / 2
+        between = inside_x & inside_z & (jnp.abs(pg[:, 1]) < spec.max_width / 2)
+        y = jnp.where(between, pg[:, 1], 0.0)
+        w_hi = jnp.max(jnp.where(between, y, -1e9))
+        w_lo = jnp.min(jnp.where(between, y, 1e9))
+        m_pos = between & (pg[:, 1] > w_hi - surface_tol)
+        m_neg = between & (pg[:, 1] < w_lo + surface_tol)
+        c = jnp.sum(jnp.where((m_pos | m_neg)[:, None], pg, 0.0), axis=0) \
+            / jnp.maximum(jnp.sum(m_pos | m_neg), 1)
+        n_in = jnp.where(m_pos[:, None],
+                         jnp.broadcast_to(jnp.array([0.0, -1.0, 0.0]), pg.shape),
+                         jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), pg.shape))
+        q = epsilon_quality(pg - c, n_in, m_pos | m_neg, mu=mu, n_dirs=256)
+        ok = m_pos.any() & m_neg.any() & (jnp.sum(m_pos | m_neg) >= 4)
+        return jnp.where(ok, q, 0.0)
+
+    return jax.lax.map(one, grasps, batch_size=64)
+
+
 @partial(jax.jit, static_argnames=("n_edges",))
 def grasp_isotropy(points: jnp.ndarray, normals: jnp.ndarray,
                    mask: jnp.ndarray, mu: float = 0.5,

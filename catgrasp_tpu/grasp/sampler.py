@@ -94,7 +94,14 @@ def augment_grasp_poses(R0: jnp.ndarray, surface_pts: jnp.ndarray,
     Rs = jnp.einsum("mij,ajk->maik", R0, R_aug)  # (M, A, 3, 3)
     Rs = jnp.concatenate([R0[:, None], Rs], axis=1)  # + identity augment
 
-    depths = init_bite + jnp.arange(n_depths) * approach_step  # (D,)
+    # reference semantics (common.cpp:142-144): the FINGERTIP plane advances
+    # from init_bite short of the surface point to hand_depth past it.  Our
+    # grasp-frame origin is the finger ROOT (tips at +hand_depth), so the
+    # origin depth is tip depth minus hand_depth — without this shift the
+    # sweep only produced fully-engulfed poses (tips 45-90 mm past the
+    # surface), which bury the fingers through the floor for every top-down
+    # pinch of a low-profile part.
+    depths = init_bite - hand_depth + jnp.arange(n_depths) * approach_step  # (D,)
     approach = Rs[..., :, 0]  # (M, A+1, 3)
     centers = (surface_pts[:, None, None, :]
                + approach[:, :, None, :] * depths[None, None, :, None])  # (M,A+1,D,3)

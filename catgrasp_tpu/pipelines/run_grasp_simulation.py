@@ -29,6 +29,7 @@ from ..geom import csg as csglib
 from ..geom import occupancy
 from ..geom import primitives as prim
 from ..grasp.gripper import Gripper
+from ..kin import iiwa, planner
 from ..grasp.sampler import NocsTransferGraspSampler, PointConeGraspSampler
 from ..pipelines.make_canonical import to_nunocs_transform
 from ..render import raymarch
@@ -36,6 +37,7 @@ from ..sim import engine, env_pile, env_semantic as es
 from ..sim.env_grasp import GripperSpec, finger_boxes, finger_contact_points, gripper_env
 from ..sim.types import SceneParams, SceneState, build_shape_lib
 
+Q_HOME = np.zeros(7, np.float32)  # straight-up home (clear of the bin)
 LIFT_HEIGHT = 0.25
 LIFT_STEPS = 80
 CLOSE_STEPS = 50
@@ -154,7 +156,7 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                           predicters: dict | None = None, seed: int = 0,
                           max_attempts_per_round: int = 8,
                           render_hw=(192, 256), verbose: bool = True,
-                          metrics_path: str | None = None):
+                          metrics_path: str | None = None, use_arm: bool = True):
     from ..utils.metrics import MetricsLogger
 
     mlog = MetricsLogger(metrics_path, run="eval", class_name=class_name,
@@ -183,6 +185,13 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
     cam[:3, 3] = [0, 0, 0.7]
     cam_j = jnp.asarray(cam)
     T_wc = np.linalg.inv(cam)
+    # robot base placement: the reference bin sits ~0.56 m in front of the
+    # iiwa base (``env.py:46-49`` bin_in_world t=(0.559, 0.367, -0.052));
+    # our world is the bin frame, so the base goes at the inverse offset —
+    # with the base at the bin center the IK gate rejects ~85% of grasps
+    base_in_world = np.eye(4, dtype=np.float32)
+    base_in_world[:3, 3] = [-0.559, -0.367, 0.052]
+    cam_in_base = jnp.asarray(np.linalg.inv(base_in_world) @ cam)
 
     sym = get_symmetry_tfs(class_name)
     counters = EvalCounters()
@@ -190,7 +199,7 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
     # approach step skips the few-mm window where finger tips clear the
     # floor yet still pinch low-profile parts (nut height ~= 8 mm)
     cone = PointConeGraspSampler(
-        gripper, max_num_samples=24,
+        gripper, max_num_samples=64,
         n_sphere_dir=int(cfg_run.get("cone_grasp_smapler_n_sphere_dir", 30)),
         approach_step=float(cfg_run.get("cone_grasp_smapler_approach_step", 0.002)),
     )
@@ -294,11 +303,14 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                 key, k2 = jax.random.split(key)
                 n_sub = min(len(pts), 512)
                 ids = rng.choice(len(pts), n_sub, replace=False)
-                poses_c, valid_c, _ = cone.sample_grasps(
+                poses_c, valid_c, fstats = cone.sample_grasps(
                     k2, pts[ids], nrm[ids], background_cloud=bg[:2048],
                     background_mask=np.ones(min(len(bg), 2048), bool),
-                    cam_in_world=jnp.asarray(cam), filter_ik=True, chunk=128)
+                    cam_in_world=cam_in_base, filter_ik=True, chunk=128)
                 cand = [np.asarray(poses_c)[np.asarray(valid_c)]]
+                mlog.event("filter", round=rnd, attempt=attempt, seg=int(sid),
+                           n_valid=int(np.asarray(valid_c).sum()),
+                           **{k: int(v) for k, v in fstats.items()})
                 if nocs_sampler is not None:
                     poses_n, valid_n, _ = nocs_sampler.sample_grasps(
                         nocs_pose=jnp.asarray(nocs_pose),
@@ -307,7 +319,7 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                         background_mask=np.ones(min(len(bg), 2048), bool),
                         collision_cloud=pts[ids],
                         collision_mask=np.ones(n_sub, bool),
-                        cam_in_world=jnp.asarray(cam), filter_ik=True, chunk=128)
+                        cam_in_world=cam_in_base, filter_ik=True, chunk=128)
                     cand.append(np.asarray(poses_n)[np.asarray(valid_n)])
                 grasps_cam = (np.concatenate(cand) if any(len(c) for c in cand)
                               else np.zeros((0, 4, 4)))
@@ -332,7 +344,14 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                 _, _, dist = predicters["grasp"].predict_batch(pts, nrm, grasps_cam)
                 p_G = predicters["grasp"].expected_quality(dist)
             else:
-                p_G = np.ones(len(grasps_cam), np.float32)
+                # analytic fallback: Ferrari-Canny wrench quality on the
+                # finger-contact model (grasp.quality) — the ranking the
+                # reference gets from its trained quality net
+                from ..grasp.quality import parallel_jaw_quality
+                q = parallel_jaw_quality(jnp.asarray(pts), jnp.asarray(nrm),
+                                         jnp.asarray(grasps_cam), spec)
+                q = np.asarray(q)
+                p_G = np.clip(q / 0.3, 0.0, 1.0).astype(np.float32)
             p_T_G = p_T_given_G * p_G
 
             ok = ((p_G >= cfg_run.get("p_G_thres", 0.5))
@@ -340,8 +359,66 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                   & (p_T_G >= cfg_run.get("p_T_G_thres", 0.1)))
             if not ok.any():
                 ok = p_T_G >= 0  # fall back to best-effort pick (keep clearing)
-            order = np.argsort(-p_T_G)
-            pick = next(i for i in order if ok[i])
+            # threshold-passing candidates first, then best-effort rest
+            # (keep clearing the bin even when scores are uniformly low)
+            srt = np.argsort(-p_T_G)
+            order = [i for i in srt if ok[i]] + [i for i in srt if not ok[i]]
+
+            # --- arm: IK + RRT-connect to the pregrasp (reference move_arm,
+            # env.py:140 — iterate candidates until one is reachable AND
+            # plannable, run_grasp_simulation.py:332-368) -------------------
+            pick = None
+            if use_arm:
+                # target points excluded: the wrist/tool necessarily comes
+                # within capsule radius of the object it grasps (the
+                # reference disables target collision via the attachment)
+                obs_cam = xyz[bg_m]
+                if len(obs_cam) > 1024:
+                    obs_cam = obs_cam[rng.choice(len(obs_cam), 1024, replace=False)]
+                obs_base = obs_cam @ np.asarray(cam_in_base)[:3, :3].T \
+                    + np.asarray(cam_in_base)[:3, 3]
+                # floor in BASE frame: bin floor is ~0.052 below the base
+                rrt = planner.RRTConnect(obs_base.astype(np.float32),
+                                         floor_z=-0.04, seed=seed)
+                n_ik_fail = n_plan_fail = 0
+                for i in order[:12]:
+                    g_base = (np.linalg.inv(base_in_world) @ cam
+                              @ grasps_cam[i]).astype(np.float32)
+                    # plan to the PREGRASP (10 cm back along the approach);
+                    # the grasp itself is reached by the cartesian descent
+                    # (move_arm to pregrasp + move_arm_catesian, env.py:140,201)
+                    pre = g_base.copy()
+                    pre[:3, 3] -= 0.10 * pre[:3, 0]
+                    ee_pre = pre @ np.asarray(gripper.ee_in_grasp)
+                    ee_goal = g_base @ np.asarray(gripper.ee_in_grasp)
+                    q_pre, found_pre = iiwa.ik_best(jnp.asarray(ee_pre))
+                    _, found_g = iiwa.ik_best(jnp.asarray(ee_goal))
+                    if not (bool(found_pre) and bool(found_g)):
+                        n_ik_fail += 1
+                        continue
+                    descent = np.stack([ee_pre * (1 - a) + ee_goal * a
+                                        for a in np.linspace(0, 1, 5)])
+                    qs_d, ok_d = planner.plan_cartesian_waypoints(
+                        descent, q_seed=np.asarray(q_pre))
+                    if not ok_d:
+                        n_ik_fail += 1
+                        continue
+                    path = rrt.plan(Q_HOME, np.asarray(q_pre), max_iter=500)
+                    if path is not None:
+                        pick = i
+                        break
+                    n_plan_fail += 1
+                if pick is None:
+                    mlog.event("plan_fail", round=rnd, attempt=attempt,
+                               n_candidates=len(order), n_ik_fail=n_ik_fail,
+                               n_plan_fail=n_plan_fail)
+                    if verbose:
+                        print(f"round {rnd} attempt {attempt}: no reachable/"
+                              f"plannable grasp among {min(len(order), 12)} "
+                              f"(ik/descent fails {n_ik_fail}, rrt fails {n_plan_fail})")
+                    break
+            else:
+                pick = order[0]
             grasp_cam = grasps_cam[pick]
             grasp_world = jnp.asarray((cam @ grasp_cam).astype(np.float32))
 
@@ -398,6 +475,8 @@ def main():
     ap.add_argument("--oracle", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--metrics", default=None, help="JSONL metrics path")
+    ap.add_argument("--use_arm", type=int, default=1,
+                    help="gate grasps on IK reachability + RRT plannability")
     args = ap.parse_args()
 
     cfg_run = load_config("config_run.yml")
@@ -411,7 +490,8 @@ def main():
     c = simulate_grasp_rounds(class_name, args.n_rounds, args.n_objects,
                               cfg_run, oracle=bool(args.oracle),
                               canonical=canonical, predicters=predicters,
-                              seed=args.seed, metrics_path=args.metrics)
+                              seed=args.seed, metrics_path=args.metrics,
+                              use_arm=bool(args.use_arm))
     print(f"num_objects={c.num_objects} num_attempts={c.num_attempts} "
           f"num_stable_grasp={c.num_stable_grasp} "
           f"num_task_grasp_succ={c.num_task_grasp_succ}")

@@ -28,7 +28,7 @@ from ..nn.pointnet import PointNetCls, PointNetSeg
 from ..nn.voxelnet import SegNet
 from .ransac import estimate_9d_transform
 
-CLUSTER_BANDWIDTH = {"nut": 0.015, "hnm": 0.02, "screw": 0.02}  # predicter.py:317-331
+CLUSTER_BANDWIDTH = {"nut": 0.007, "hnm": 0.005, "screw": 0.009}  # predicter.py:317-331
 
 
 @dataclass

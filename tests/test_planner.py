@@ -47,3 +47,37 @@ def test_cartesian_waypoints_continuity(rng):
     # consecutive configs stay close (no branch flips)
     steps = np.linalg.norm(np.diff(qs, axis=0), axis=1)
     assert (steps < 0.6).all()
+
+
+def test_reference_layout_reachability():
+    """Reference geometry (bin 0.56 m in front of the base, env.py:46-49):
+    home is collision-free and a top-down pregrasp over the bin is
+    reachable + plannable. Regression for the base-at-bin-center bug that
+    made the IK gate reject ~85% and for floor_z given in the wrong frame."""
+    import numpy as np
+    import jax.numpy as jnp
+    from catgrasp_tpu.kin import iiwa, planner
+    from catgrasp_tpu.grasp.gripper import Gripper
+
+    base_in_world = np.eye(4, dtype=np.float32)
+    base_in_world[:3, 3] = [-0.559, -0.367, 0.052]
+    g_w = np.eye(4, dtype=np.float32)
+    g_w[:3, 0] = [0, 0, -1]
+    g_w[:3, 1] = [1, 0, 0]
+    g_w[:3, 2] = np.cross(g_w[:3, 0], g_w[:3, 1])
+    g_w[:3, 3] = [0.05, 0.0, 0.005]
+    g_base = np.linalg.inv(base_in_world) @ g_w
+    gr = Gripper.default()
+    pre = g_base.copy()
+    pre[:3, 3] -= 0.10 * pre[:3, 0]
+    q_pre, found = iiwa.ik_best(jnp.asarray(pre @ np.asarray(gr.ee_in_grasp)))
+    assert bool(found)
+
+    rng = np.random.default_rng(0)
+    obs_w = rng.uniform(-0.15, 0.15, (512, 3)).astype(np.float32) * [1, 1, 0.05]
+    T_bw = np.linalg.inv(base_in_world)
+    obs_b = obs_w @ T_bw[:3, :3].T + T_bw[:3, 3]
+    rrt = planner.RRTConnect(obs_b.astype(np.float32), floor_z=-0.04, seed=0)
+    assert rrt._free(np.zeros((1, 7), np.float32))[0]
+    assert rrt._free(np.asarray(q_pre)[None])[0]
+    assert rrt.plan(np.zeros(7, np.float32), np.asarray(q_pre)) is not None

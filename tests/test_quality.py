@@ -79,3 +79,25 @@ def test_isotropy_degenerate_vs_spread():
     i1 = float(Q.grasp_isotropy(p1, n1, m1))
     i2 = float(Q.grasp_isotropy(p2, n2, m2))
     assert i2 > i1
+
+
+def test_parallel_jaw_quality_ranks_grasps():
+    from catgrasp_tpu.grasp.quality import parallel_jaw_quality
+    from catgrasp_tpu.sim.env_grasp import GripperSpec
+
+    spec = GripperSpec()
+    rng = np.random.default_rng(0)
+    # flat box 22x20x8 mm inside the closing region
+    pts = (rng.uniform(-1, 1, (400, 3)).astype(np.float32)
+           * [0.011, 0.010, 0.004] + [0.02, 0, 0])
+    nrm = np.zeros_like(pts); nrm[:, 2] = 1
+    g_center = np.eye(4, dtype=np.float32)
+    g_shallow = np.eye(4, dtype=np.float32)
+    g_shallow[0, 3] = 0.018  # tips barely past the surface
+    g_miss = np.eye(4, dtype=np.float32); g_miss[1, 3] = 0.2
+    q = np.asarray(parallel_jaw_quality(
+        jnp.asarray(pts), jnp.asarray(nrm),
+        jnp.asarray(np.stack([g_center, g_shallow, g_miss])), spec))
+    assert q[0] > 0.05          # full wrap: solid closure
+    assert q[2] == 0.0          # grasping air scores zero
+    assert q[0] >= q[1]         # deeper engagement never scores worse
