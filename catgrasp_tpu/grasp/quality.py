@@ -178,6 +178,12 @@ def parallel_jaw_quality(cloud: jnp.ndarray, normals: jnp.ndarray,
                          jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), pg.shape))
         q = epsilon_quality(pg - c, n_in, m_pos | m_neg, mu=mu, n_dirs=256)
         ok = m_pos.any() & m_neg.any() & (jnp.sum(m_pos | m_neg) >= 4)
+        # engagement: how deep the contact patch sits toward the palm.
+        # Tip-held objects (low engagement) shake loose under perturbation —
+        # the signal the reference's physics-trained quality net encodes.
+        contacts = m_pos | m_neg
+        depth = jnp.max(jnp.where(contacts, pg[:, 0], 0.0)) / spec.finger_len
+        q = q * (0.4 + 0.6 * jnp.clip(depth, 0.0, 1.0))
         return jnp.where(ok, q, 0.0)
 
     return jax.lax.map(one, grasps, batch_size=64)

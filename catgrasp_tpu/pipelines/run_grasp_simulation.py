@@ -436,10 +436,12 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                 # grasp pose in the object frame reflects any in-hand slip
                 # that happened during the pick -----------------------------
                 grasp_in_ob = tf.pose_inverse(jnp.asarray(ob_in_grasp))
-                ret, _ = es.try_grasp(
+                placed = bool(es.place_and_drop(
                     lib, shape_id[target], jnp.int32(fixture_idx), scale[target],
-                    grasp_in_ob, class_name, lib.surf_pts[shape_id[target]], spec)
-                placed = int(ret) == 2
+                    grasp_in_ob, class_name, w_f, spec))
+                mlog.event("place", round=rnd, attempt=attempt, placed=placed,
+                           slip=float(np.linalg.norm(
+                               np.asarray(ob_in_grasp)[:3, 3] - [0.02, 0, 0])))
                 if placed:
                     counters.num_task_grasp_succ += 1
             # remove the attempted object from the pile (reference removes

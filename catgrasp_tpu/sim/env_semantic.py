@@ -148,6 +148,56 @@ def try_grasp(lib: ShapeLib, obj_shape: jnp.ndarray, fixture_shape_idx: jnp.ndar
     return ret, contact_mask
 
 
+@partial(jax.jit, static_argnames=("class_name", "spec", "n_waypoints", "drop_steps"))
+def place_and_drop(lib: ShapeLib, obj_shape: jnp.ndarray,
+                   fixture_shape_idx: jnp.ndarray, scale: jnp.ndarray,
+                   grasp_in_ob: jnp.ndarray, class_name: str,
+                   width: jnp.ndarray, spec: GripperSpec = GripperSpec(),
+                   n_waypoints: int = 8, drop_steps: int = 60) -> jnp.ndarray:
+    """The closed-loop ``place_action`` (``run_grasp_simulation.py:375-463``):
+    insert an ALREADY-HELD object along pre->place waypoints (gripper +
+    object vs fixture collision sweep), open, drop, class placement check.
+    Unlike :func:`try_grasp` there is no free-space close-and-shake — the
+    pick already verified the hold physically in the pile.  Returns a bool.
+    """
+    pre_t, place_t = [jnp.asarray(t, jnp.float32) for t in TASK_POSES[class_name]]
+    pts_ob = lib.surf_pts[obj_shape] * scale
+
+    alphas = jnp.linspace(0.0, 1.0, n_waypoints)
+    ob_pos_path = pre_t[None] * (1 - alphas[:, None]) + place_t[None] * alphas[:, None]
+    fixture_csg = csglib.select_shape(lib.csg, fixture_shape_idx)
+    grip_pts_g = _gripper_sample_points(spec, width)
+
+    def waypoint_collides(ob_pos):
+        ob_pose = jnp.eye(4).at[:3, 3].set(ob_pos)
+        grasp_w = ob_pose @ grasp_in_ob
+        gp_w = tf.transform_points(grasp_w, grip_pts_g)
+        d_grip = csglib.csg_sdf(fixture_csg, gp_w)
+        op_w = tf.transform_points(ob_pose, pts_ob)
+        d_ob = csglib.csg_sdf(fixture_csg, op_w)
+        return (jnp.min(d_grip) < 5e-4) | (jnp.min(d_ob) < -1e-3)
+
+    blocked = jnp.any(jax.vmap(waypoint_collides)(ob_pos_path))
+
+    FIXTURE_MASS = 1e9
+    shape_ids = jnp.stack([obj_shape, fixture_shape_idx])
+    params = SceneParams.create(lib, shape_ids, jnp.stack([scale, jnp.float32(1.0)]))
+    params = params.replace(
+        mass=params.mass.at[1].set(FIXTURE_MASS),
+        inertia=params.inertia.at[1].set(FIXTURE_MASS),
+    )
+    st = SceneState.create(2).replace(
+        pos=jnp.stack([place_t, jnp.zeros(3)]),
+        active=jnp.array([True, True]),
+    )
+    no_env = engine.StaticEnv.boxes(
+        jnp.array([[0.0, 0.0, -0.05]]), jnp.array([[0.5, 0.5, 0.05]]))
+    final = engine.rollout(st, params, lib, no_env, drop_steps, gravity=-9.8)
+    ob_pose_final = tf.pose_from_qt(final.quat[0], final.pos[0])
+    placed = place_success(class_name, ob_pose_final, place_t)
+    return ~blocked & placed
+
+
 def accumulate_affordance(rets: np.ndarray, contact_masks: np.ndarray,
                           min_trials: int = 10):
     """Per-point P(task | stable grasp) from trial outcomes

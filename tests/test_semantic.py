@@ -1,0 +1,52 @@
+"""Semantic (task) env: try_grasp trichotomy and the closed-loop
+place_and_drop (insertion sweep + drop + class placement check)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from catgrasp_tpu.geom import csg as csglib, primitives as prim
+from catgrasp_tpu.sim import env_semantic as es
+from catgrasp_tpu.sim.env_grasp import GripperSpec
+from catgrasp_tpu.sim.types import build_shape_lib
+
+
+def _lib():
+    meshes = [prim.make_instance("nut", "train", 0), prim.place_fixture("nut")]
+    csgs = [csglib.make_csg_instance("nut", "train", 0),
+            csglib.csg_place_fixture("nut")]
+    return build_shape_lib(meshes, csgs, n_surf=64)
+
+
+def _side_pinch():
+    """Grasp in the object frame: approach -z (from above when the nut is
+    upright at the task orientation), closing along x, tips at mid-height."""
+    spec = GripperSpec()
+    G = np.eye(4, dtype=np.float32)
+    G[:3, 0] = [0, 0, -1]
+    G[:3, 1] = [1, 0, 0]
+    G[:3, 2] = np.cross(G[:3, 0], G[:3, 1])
+    G[2, 3] = spec.finger_len  # origin above, tips at object center height
+    return jnp.asarray(G), spec
+
+
+def test_place_and_drop_good_grasp_succeeds():
+    lib = _lib()
+    G, spec = _side_pinch()
+    ok = es.place_and_drop(lib, jnp.int32(0), jnp.int32(1), jnp.float32(1.0),
+                           G, "nut", jnp.float32(0.021), spec)
+    assert bool(ok)
+
+
+def test_place_and_drop_blocking_grasp_fails():
+    """A grasp whose gripper body sits UNDER the object (between object and
+    fixture) blocks the insertion sweep."""
+    lib = _lib()
+    spec = GripperSpec()
+    G = np.eye(4, dtype=np.float32)
+    G[:3, 0] = [0, 0, 1]     # approach +z: palm below, fingers up through peg
+    G[:3, 1] = [1, 0, 0]
+    G[:3, 2] = np.cross(G[:3, 0], G[:3, 1])
+    G[2, 3] = -spec.finger_len
+    ok = es.place_and_drop(lib, jnp.int32(0), jnp.int32(1), jnp.float32(1.0),
+                           jnp.asarray(G), "nut", jnp.float32(0.021), spec)
+    assert not bool(ok)
