@@ -104,6 +104,9 @@ class SegNet(nn.Module):
         h = nn.relu(nn.GroupNorm(num_groups=8)(h))
         h = nn.Dense(64)(h)
         h = nn.relu(h)
-        offsets = nn.Dense(3)(h)
+        # offsets bounded to the physical object scale (CaTGrasp parts are
+        # 1-5 cm): an unbounded head starts at O(1 m) predictions and the
+        # shifted points are garbage until late in training
+        offsets = 0.05 * nn.tanh(nn.Dense(3)(h))
         objectness = nn.Dense(1)(h)[:, 0]
         return offsets, objectness

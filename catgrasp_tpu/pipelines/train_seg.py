@@ -24,7 +24,14 @@ def build(cfg: dict):
             offsets, objness = apply_fn({"params": params}, xyz, nrm, origin)
             is_obj = inst >= 0
             l_off = offset_loss(offsets, gt_off, is_obj)
-            l_obj = optax.sigmoid_binary_cross_entropy(objness, is_obj.astype(jnp.float32)).mean()
+            # class-balanced BCE: object points are a few % of a scene cloud
+            # (bin/floor dominate) — unweighted BCE converges to all-negative
+            y = is_obj.astype(jnp.float32)
+            pos = jnp.maximum(y.sum(), 1.0)
+            neg = jnp.maximum((1 - y).sum(), 1.0)
+            bce = optax.sigmoid_binary_cross_entropy(objness, y)
+            w = jnp.where(is_obj, neg / pos, 1.0)
+            l_obj = jnp.sum(bce * w) / jnp.sum(w)
             return l_off + l_obj
 
         losses = jax.vmap(per_scene)(batch["xyz"], batch["normal"],
