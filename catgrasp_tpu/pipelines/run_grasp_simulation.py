@@ -155,7 +155,7 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                           oracle: bool = True, canonical: dict | None = None,
                           predicters: dict | None = None, seed: int = 0,
                           max_attempts_per_round: int = 8,
-                          render_hw=(192, 256), verbose: bool = True,
+                          render_hw=(384, 512), verbose: bool = True,
                           metrics_path: str | None = None, use_arm: bool = True):
     from ..utils.metrics import MetricsLogger
 
@@ -179,7 +179,10 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
     pile_cfg = env_pile.PileConfig(max_bodies=n_objects, scale_range=(0.9, 1.1))
     env_bin = engine.StaticEnv.open_bin(pile_cfg.bin_inner)
     H, W = render_hw
-    Kc = jnp.array([[260.0, 0, W / 2], [0, 260.0, H / 2], [0, 0, 1.0]])
+    # focal scales with resolution (reference: fx 2257.75 at 2064 wide,
+    # config.yml:1-3) so pixel density on the pile grows with render_hw
+    fx = 2257.75 * (W / 2064.0)
+    Kc = jnp.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1.0]])
     cam = np.eye(4, dtype=np.float32)
     cam[:3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float32)
     cam[:3, 3] = [0, 0, 0.7]
