@@ -8,9 +8,8 @@
   segmentation net.
 * :func:`dense_clutter_grasp_labels` — ``make_dense_clutter_grasp_data``
   (``tool.py:280-418``): project the offline grasp DB into a scene, keep
-  grasps on sufficiently-visible objects whose approach faces the camera
-  and whose gripper is collision-free, up to ``max_per_scene``; label =
-  DB perturbation score.
+  grasps on sufficiently-visible objects whose approach faces the camera,
+  up to ``max_per_scene``; label = DB perturbation score.
 
 All functions are host-side numpy over .npz scene records (variable-length
 outputs); device-side consumers re-pad to fixed shapes.
@@ -67,10 +66,12 @@ def dense_clutter_grasp_labels(scene: dict, grasp_db: dict, min_vis: float = 0.8
                                max_per_scene: int = 20, rng=None):
     """(grasp_in_cam, score, body) labels for the grasp-quality dataset.
 
-    Reference gates (``tool.py:280-418``): object visibility >= 0.8, approach
-    direction faces the camera; we additionally reject grasps whose gripper
-    boxes hit the scene cloud (the reference relies on its collision filter
-    downstream).
+    Reference gates (``tool.py:280-418``): object visibility >= 0.8 and
+    approach direction faces the camera — and nothing else: the reference's
+    ``collision_with_scene`` rejection counter is declared but never
+    incremented and ``check_finger_region`` is hardcoded False, so
+    in-collision grasps keep their free-space DB scores in the training set.
+    We reproduce that labeling behavior exactly.
     """
     rng = rng or np.random.default_rng(0)
     T_wc = np.linalg.inv(scene["cam_in_world"])

@@ -93,10 +93,11 @@ def _euler_zyz(R):
     sb = jnp.sqrt(jnp.clip(r02**2 + r12**2, 0.0, None))
     degen = sb < 1e-7
 
+    # Degenerate fold a=atan2(r10,r00) is the b≈0 case only; b≈pi (r22≈-1)
+    # is unreachable inside the ±120° joint-2 limit, so it is not handled.
     b1 = jnp.arctan2(sb, r22)
-    a1 = jnp.where(degen, jnp.arctan2(r10, r00) * jnp.sign(jnp.maximum(r22, 0.0) + 0.5), jnp.arctan2(r12, r02))
+    a1 = jnp.where(degen, jnp.arctan2(r10, r00), jnp.arctan2(r12, r02))
     c1 = jnp.where(degen, 0.0, jnp.arctan2(r21, -r20))
-    a1 = jnp.where(degen, jnp.arctan2(r10, r00), a1)
 
     b2 = -b1
     a2 = jnp.where(degen, a1, jnp.arctan2(-r12, -r02))

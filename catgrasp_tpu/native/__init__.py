@@ -25,7 +25,11 @@ def _load():
     if _lib is not None:
         return _lib
     if not os.path.exists(_LIB_PATH):
-        subprocess.run(["make", "-C", _DIR], check=True, capture_output=True)
+        proc = subprocess.run(["make", "-C", _DIR], capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"native build failed (rc={proc.returncode}):\n{proc.stderr}"
+            )
     _lib = ctypes.CDLL(_LIB_PATH)
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")

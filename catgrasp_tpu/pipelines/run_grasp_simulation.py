@@ -114,6 +114,11 @@ def execute_pick(lib, state: SceneState, params: SceneParams, env_bin,
     return picked, final, ob_in_grasp, w_f
 
 
+# module-scope jit wrapper: one persistent trace cache serves every
+# target/attempt (target is a traced dynamic index)
+_execute_pick_jit = jax.jit(execute_pick, static_argnames=("spec",))
+
+
 # ---------------------------------------------------------------------------
 # Grasp affordance P(T|G) from the canonical codebook
 # ---------------------------------------------------------------------------
@@ -429,8 +434,7 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
             counters.num_attempts += 1
             # target is traced (dynamic index) — one compile serves every
             # target/attempt instead of one per pile slot
-            picked, state_after, ob_in_grasp, w_f = jax.jit(
-                execute_pick, static_argnames=("spec",))(
+            picked, state_after, ob_in_grasp, w_f = _execute_pick_jit(
                 lib, state, params, env_bin, jnp.int32(target), grasp_world, spec)
             picked = bool(picked)
             if picked:

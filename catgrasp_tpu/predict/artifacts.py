@@ -10,20 +10,19 @@ params, and returns ready predicters.
 from __future__ import annotations
 
 import os
-import pickle
 
 import jax
 import jax.numpy as jnp
 from flax import serialization
 
 from ..config.loader import load_config
+from ..train.trainer import read_checkpoint_blob
 from .predicter import GraspPredicter, NunocsPredicter, SegPredicter
 
 
 def load_params(path: str, template_params):
-    """Restore a params pytree from a trainer checkpoint blob."""
-    with open(path, "rb") as f:
-        blob = pickle.load(f)
+    """Restore a params pytree from a trainer checkpoint blob (msgpack)."""
+    blob = read_checkpoint_blob(path)
     return serialization.from_bytes(template_params, blob["params"])
 
 

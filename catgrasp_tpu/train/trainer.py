@@ -14,7 +14,6 @@ the reference (``SURVEY.md §5``) — makes training resumable.
 from __future__ import annotations
 
 import os
-import pickle
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Callable
@@ -161,19 +160,25 @@ class Trainer:
 
 
 def save_checkpoint(path: str, state: TrainState, epoch: int) -> None:
+    """Whole blob is msgpack (flax serialization) — no pickle anywhere, so
+    loading an untrusted checkpoint cannot execute code."""
     blob = {
         "params": serialization.to_bytes(state.params),
         "opt_state": serialization.to_bytes(state.opt_state),
         "step": int(state.step),
-        "epoch": epoch,
+        "epoch": int(epoch),
     }
     with open(path, "wb") as f:
-        pickle.dump(blob, f)
+        f.write(serialization.msgpack_serialize(blob))
+
+
+def read_checkpoint_blob(path: str) -> dict:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
 
 
 def load_checkpoint(path: str, state: TrainState) -> tuple[TrainState, int]:
-    with open(path, "rb") as f:
-        blob = pickle.load(f)
+    blob = read_checkpoint_blob(path)
     params = serialization.from_bytes(state.params, blob["params"])
     opt_state = serialization.from_bytes(state.opt_state, blob["opt_state"])
     state = state.replace(params=params, opt_state=opt_state, step=blob["step"])
