@@ -20,8 +20,33 @@ import numpy as np
 
 
 def load_scene(path: str) -> dict:
+    """Load a scene record, decoding the compact on-disk encoding back to
+    the in-memory schema (f32 maps + int32 seg + xyz cam-frame cloud).
+
+    On-disk compaction (mirrors the reference's ``depth*1e4`` uint16 pngs,
+    ``env.py:420-433``): depth u16 in 0.1 mm, seg i16, nocs/normal f16, xyz
+    omitted (reconstructed from depth via the pinhole model).
+    """
     with np.load(path, allow_pickle=True) as z:
-        return {k: z[k] for k in z.files}
+        scene = {k: z[k] for k in z.files}
+    if scene["depth"].dtype == np.uint16:
+        scene["depth"] = scene["depth"].astype(np.float32) / 1e4
+    scene["seg"] = scene["seg"].astype(np.int32)
+    for k in ("nocs", "normal"):
+        if k in scene and scene[k].dtype == np.float16:
+            scene[k] = scene[k].astype(np.float32)
+    if "xyz" not in scene:
+        K = scene["K"]
+        depth = scene["depth"]
+        H, W = depth.shape
+        us, vs = np.meshgrid(np.arange(W, dtype=np.float32),
+                             np.arange(H, dtype=np.float32))
+        xyz = np.empty((H, W, 3), np.float32)
+        xyz[..., 0] = (us - K[0, 2]) / K[0, 0] * depth
+        xyz[..., 1] = (vs - K[1, 2]) / K[1, 1] * depth
+        xyz[..., 2] = depth
+        scene["xyz"] = xyz
+    return scene
 
 
 def isolated_object_clouds(scene: dict, min_vis: float = 0.3,
