@@ -1,14 +1,23 @@
 #!/usr/bin/env python
-"""Headline benchmark: batched pile-drop env steps/second on one TPU chip.
+"""Headline benchmarks on one TPU chip.  Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "extra": {...}}.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline (BASELINE.md north star): >= 10,000 env steps/sec on TPU — the
-reference steps one PyBullet world per CPU process at O(1k) steps/sec.
+Primary (BASELINE.md north star #1): batched pile-drop env steps/second,
+target >= 10,000 — the reference steps one PyBullet world per CPU process at
+O(1k) steps/sec.  An env step is one full physics step of one scene
+(10 bodies, SDF narrowphase + 4 Jacobi impulse iterations), the unit of
+``p.stepSimulation()`` in the reference hot loop (``env.py:299-344``).
 
-An env step here is one full physics step of one scene (10 bodies, SDF
-narrowphase + 4 Jacobi impulse iterations), matching the unit of
-``p.stepSimulation()`` in the reference hot loop
-(``env.py:299-344``, ``env_grasp.py:94-99``).
+extra.grasp_collision_checks_per_sec (north star #2, target >= 1M): grasp
+SDF collision-gate checks/second through the fused Pallas kernel
+(`ops/collision.py`).  One check = one (pose x lateral-offset) gripper-vs-
+scene-cloud query, the unit of the reference's per-offset FCL query in
+``adjust_collision_pose`` (``my_cpp/common.cpp:253-287``), on a 2048-point
+scene cloud.
+
+extra.ik_gate_poses_per_sec: IK-feasibility gate throughput (branch-free
+S-R-S gate, `kin/iiwa.py:ik_feasible`), the reference's per-pose ikfast call
+inside ``filterGraspPose`` (``common.cpp:214-226``).
 """
 import json
 import time
@@ -21,9 +30,17 @@ from catgrasp_tpu.sim import engine, env_pile
 from catgrasp_tpu.sim.types import build_shape_lib
 
 BASELINE_STEPS_PER_SEC = 10_000.0
+BASELINE_CHECKS_PER_SEC = 1_000_000.0
 
 
-def main():
+def _readback(x):
+    # force a real device->host readback: on tunneled/async PJRT runtimes
+    # block_until_ready can return before execution finishes, which would
+    # inflate the number
+    return float(jnp.sum(x))
+
+
+def bench_env_steps():
     batch = 1024
     steps_per_call = 50
     cfg = env_pile.PileConfig(max_bodies=10)
@@ -35,37 +52,98 @@ def main():
     csgs = [make_csg_instance(c, "train", i) for c, i in specs]
     lib = build_shape_lib(meshes, csgs, n_surf=32)
 
-    key = jax.random.PRNGKey(0)
-    keys = jax.random.split(key, batch)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
     env = engine.StaticEnv.open_bin(cfg.bin_inner)
     states, params = jax.vmap(lambda k: env_pile.reset(k, lib, cfg))(keys)
 
     @jax.jit
     def run(st):
-        return jax.vmap(lambda s, p: engine.rollout(s, p, lib, env, steps_per_call, dt=cfg.dt))(st, params)
+        return jax.vmap(lambda s, p: engine.rollout(
+            s, p, lib, env, steps_per_call, dt=cfg.dt))(st, params)
 
-    # warmup / compile
     states = run(states)
     jax.block_until_ready(states)
+    _readback(states.pos)
 
     n_calls = 4
     t0 = time.perf_counter()
     for _ in range(n_calls):
         states = run(states)
     jax.block_until_ready(states)
-    # force a real device->host readback: on tunneled/async PJRT runtimes
-    # block_until_ready can return before execution finishes, which would
-    # inflate the number
-    float(jnp.sum(states.pos))
+    _readback(states.pos)
     dt_wall = time.perf_counter() - t0
+    return batch * steps_per_call * n_calls / dt_wall
 
-    env_steps = batch * steps_per_call * n_calls
-    sps = env_steps / dt_wall
+
+def bench_collision_gate():
+    from catgrasp_tpu.grasp.filter import _static_open_boxes, ADJUST_OFFSETS
+    from catgrasp_tpu.ops import collision as pc
+    from catgrasp_tpu.sim.env_grasp import GripperSpec
+
+    spec = GripperSpec()
+    boxes = _static_open_boxes(spec)
+    offsets = tuple(float(o) for o in ADJUST_OFFSETS)
+    P, C = 131072, 2048
+    key = jax.random.PRNGKey(1)
+    t_inv = jnp.tile(jnp.eye(4), (P, 1, 1)).at[:, :3, 3].set(
+        jax.random.uniform(key, (P, 3), minval=-0.2, maxval=0.2))
+    cloud = jax.random.uniform(jax.random.PRNGKey(2), (C, 3),
+                               minval=-0.15, maxval=0.15)
+    mask = jnp.ones((C,), bool)
+
+    run = jax.jit(lambda t: pc.box_hits(t, cloud, mask, boxes, offsets, 0.0))
+    hits = run(t_inv)
+    _readback(hits)
+    n_calls = 8
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        hits = run(t_inv)
+    _readback(hits)
+    dt_wall = time.perf_counter() - t0
+    return P * len(offsets) * n_calls / dt_wall
+
+
+def bench_ik_gate():
+    from catgrasp_tpu.kin import iiwa
+
+    B = 65536
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    T = jnp.tile(jnp.eye(4), (B, 1, 1))
+    T = T.at[:, :3, 3].set(jax.random.uniform(k1, (B, 3), minval=-0.8, maxval=0.8))
+    ax = jax.random.normal(k2, (B, 3))
+    ax = ax / jnp.linalg.norm(ax, axis=1, keepdims=True)
+    from catgrasp_tpu.core import transforms as tf
+    ang = jax.random.uniform(key, (B,), maxval=3.1)
+    R = jax.vmap(tf.axis_angle_to_matrix)(ax, ang)
+    T = T.at[:, :3, :3].set(R)
+
+    run = jax.jit(lambda t: iiwa.ik_feasible(t))
+    ok = run(T)
+    _readback(ok)
+    n_calls = 8
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        ok = run(T)
+    _readback(ok)
+    dt_wall = time.perf_counter() - t0
+    return B * n_calls / dt_wall
+
+
+def main():
+    sps = bench_env_steps()
+    cps = bench_collision_gate()
+    ips = bench_ik_gate()
     print(json.dumps({
         "metric": "pile_env_steps_per_sec",
         "value": round(sps, 1),
         "unit": "env_steps/s",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 3),
+        "extra": {
+            "grasp_collision_checks_per_sec": round(cps, 1),
+            "grasp_collision_vs_baseline": round(cps / BASELINE_CHECKS_PER_SEC, 3),
+            "ik_gate_poses_per_sec": round(ips, 1),
+        },
     }))
 
 

@@ -201,17 +201,128 @@ def ik_best(T: jnp.ndarray, q_ref: jnp.ndarray | None = None, n_psi: int = N_PSI
 ik_batch = jax.vmap(ik, in_axes=(0, None))
 
 
+_TAN10 = float(np.tan(np.deg2rad(10.0)))   # ±170° interval test slope
+_TAN5 = float(np.tan(np.deg2rad(5.0)))     # ±175°
+_COS120 = float(np.cos(np.deg2rad(120.0)))
+
+
+def _rodrigues(u, cps, sps, v):
+    """Rot(u, ψ) @ v for a batch of ψ: u (...,3), cps/sps (..., n_psi),
+    v (..., 3) -> (..., n_psi, 3).  No 3x3 matrices materialized."""
+    udv = jnp.sum(u * v, axis=-1)[..., None, None]
+    uxv = jnp.cross(u, v)[..., None, :]
+    return (v[..., None, :] * cps[..., None] + uxv * sps[..., None]
+            + u[..., None, :] * udv * (1.0 - cps[..., None]))
+
+
+def _spin_ok(x, y, slope):
+    """|atan2(y, x)| <= pi - atan(slope): NOT inside the cone around ±pi."""
+    return ~((x < 0.0) & (jnp.abs(y) <= -x * slope))
+
+
+@partial(jax.jit, static_argnames=("n_psi",))
 def ik_feasible(Ts: jnp.ndarray, n_psi: int = N_PSI,
                 chunk: int = 8192) -> jnp.ndarray:
-    """Vectorized IK-feasibility gate over poses (B, 4, 4) -> (B,) bool.
+    """Branch-free IK-feasibility gate over poses (B, 4, 4) -> (B,) bool.
     Replaces the per-pose ikfast call inside ``filterGraspPose``
     (``common.cpp:214-226``).
 
-    Chunked with ``lax.map`` so the branch-expansion temporaries (8*n_psi
-    candidate solutions per pose, each with a handful of 3x3 intermediates)
-    stay bounded — unchunked, 100k+ poses exhaust HBM."""
-    def gate(T):
-        _, valid = ik(T, n_psi)
-        return jnp.any(valid, axis=-1)
+    Exploits two structural facts to avoid materializing the (8·n_psi, 7)
+    solution tensor of :func:`ik`:
 
-    return jax.lax.map(gate, Ts, batch_size=min(chunk, max(Ts.shape[0], 1)))
+    * the wrist rotation R47 = Ry(-q4)·R03ᵀ·R is independent of which
+      shoulder ZYZ branch is taken (both decompose the same R03), so
+      shoulder and wrist feasibility test independently;
+    * a joint-limit check on a ZYZ angle needs no arctan: |b| ≤ 120° is
+      ``r22 >= cos120°`` and |a| ≤ 170° is "atan2 operands not inside the
+      10° cone around ±π" — sign/ratio comparisons on matrix elements.
+
+    The ψ sweep is Rodrigues rotation of a handful of fixed vectors (pure
+    VPU mul/add), giving O(n_psi) scalars per pose instead of O(n_psi)
+    3x3 temporaries.  At the exact shoulder/wrist singularity (b≈0) the
+    composite spin always splits within the ±170°(+±175°) limits, so the
+    gate accepts — slightly more complete than :func:`ik`'s conservative
+    fold of the spin into joint 1.
+    """
+    R = Ts[..., :3, :3]
+    p = Ts[..., :3, 3]
+    p_w = p - R[..., :, 2] * D_WF
+    sw = p_w - jnp.array([0.0, 0.0, D_BS])
+    d2 = jnp.sum(sw * sw, axis=-1)
+    d_sw = jnp.sqrt(d2)
+
+    cos_q4 = (d2 - D_SE**2 - D_EW**2) / (2 * D_SE * D_EW)
+    reachable = jnp.abs(cos_q4) <= 1.0
+    q4m = jnp.arccos(jnp.clip(cos_q4, -1.0, 1.0))
+    elbow_ok = q4m <= JOINT_LIMITS[3]
+
+    u = sw / jnp.maximum(d_sw, 1e-9)[..., None]
+    psi = jnp.linspace(0.0, 2 * jnp.pi, n_psi, endpoint=False)
+    cps, sps = jnp.cos(psi), jnp.sin(psi)
+    cps = jnp.broadcast_to(cps, Ts.shape[:-2] + (n_psi,))
+    sps = jnp.broadcast_to(sps, Ts.shape[:-2] + (n_psi,))
+
+    rxy = jnp.sqrt(sw[..., 0] ** 2 + sw[..., 1] ** 2)
+    q1_0 = jnp.arctan2(sw[..., 1], sw[..., 0])
+    theta_sw = jnp.arctan2(rxy, sw[..., 2])
+
+    e_z = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), u.shape)
+    # Rot(u,-ψ) e_z and Rot(u,-ψ) R[:,2] are elbow-independent: hoist
+    rot_neg_ez = _rodrigues(u, cps, -sps, e_z)          # (..., n_psi, 3)
+    rot_neg_rz = _rodrigues(u, cps, -sps, R[..., :, 2])
+
+    def per_elbow(q4):
+        # reference shoulder config: R03_ref = Rz(q1_0) Ry(q2_0)
+        vx = D_EW * jnp.sin(q4)
+        vz = D_SE + D_EW * jnp.cos(q4)
+        q2_0 = theta_sw - jnp.arctan2(vx, vz)
+        c1, s1 = jnp.cos(q1_0), jnp.sin(q1_0)
+        c2, s2 = jnp.cos(q2_0), jnp.sin(q2_0)
+
+        def ref_apply(v, C1, S1, C2, S2):      # R03_ref @ v
+            x = C2 * v[..., 0] + S2 * v[..., 2]
+            z = -S2 * v[..., 0] + C2 * v[..., 2]
+            return jnp.stack([C1 * x - S1 * v[..., 1],
+                              S1 * x + C1 * v[..., 1], z], axis=-1)
+
+        def ref_apply_T(v, C1, S1, C2, S2):    # R03_refᵀ @ v
+            x = C1 * v[..., 0] + S1 * v[..., 1]
+            y = -S1 * v[..., 0] + C1 * v[..., 1]
+            return jnp.stack([C2 * x - S2 * v[..., 2], y,
+                              S2 * x + C2 * v[..., 2]], axis=-1)
+
+        # expanded coefficients broadcast against the n_psi axis
+        C1, S1, C2, S2 = (a[..., None] for a in (c1, s1, c2, s2))
+
+        # shoulder col2: R03 e_z = Rot(u,ψ) (R03_ref e_z)
+        col2 = _rodrigues(u, cps, sps, ref_apply(e_z, c1, s1, c2, s2))
+        # shoulder row2: R03ᵀ e_z = R03_refᵀ (Rot(u,-ψ) e_z)
+        row2 = ref_apply_T(rot_neg_ez, C1, S1, C2, S2)
+        r02, r12, r22 = col2[..., 0], col2[..., 1], col2[..., 2]
+        r20, r21 = row2[..., 0], row2[..., 1]
+        sh_b = r22 >= _COS120
+        sh_1 = _spin_ok(r02, r12, _TAN10) & _spin_ok(-r20, r21, _TAN10)
+        sh_2 = _spin_ok(-r02, -r12, _TAN10) & _spin_ok(r20, -r21, _TAN10)
+        degen_s = r02**2 + r12**2 < 1e-14
+        sh_ok = sh_b & (degen_s | sh_1 | sh_2)
+
+        # wrist: R47 = Ry(-q4) R03ᵀ R; col2 needs wz = R03ᵀ R[:,2]
+        c4, s4 = jnp.cos(q4), jnp.sin(q4)
+        wz = ref_apply_T(rot_neg_rz, C1, S1, C2, S2)
+        r02w = c4[..., None] * wz[..., 0] - s4[..., None] * wz[..., 2]
+        r12w = wz[..., 1]
+        r22w = s4[..., None] * wz[..., 0] + c4[..., None] * wz[..., 2]
+        # row2 of R47: m = R03 (s4, 0, c4) (ψ-independent inner vector)
+        mv = jnp.stack([s4, jnp.zeros_like(s4), c4], axis=-1)
+        m = _rodrigues(u, cps, sps, ref_apply(mv, c1, s1, c2, s2))
+        r20w = jnp.sum(m * R[..., None, :, 0], axis=-1)
+        r21w = jnp.sum(m * R[..., None, :, 1], axis=-1)
+        wr_b = r22w >= _COS120
+        wr_1 = _spin_ok(r02w, r12w, _TAN10) & _spin_ok(-r20w, r21w, _TAN5)
+        wr_2 = _spin_ok(-r02w, -r12w, _TAN10) & _spin_ok(r20w, -r21w, _TAN5)
+        degen_w = r02w**2 + r12w**2 < 1e-14
+        wr_ok = wr_b & (degen_w | wr_1 | wr_2)
+        return jnp.any(sh_ok & wr_ok, axis=-1)
+
+    ok = per_elbow(q4m) | per_elbow(-q4m)
+    return ok & reachable & elbow_ok

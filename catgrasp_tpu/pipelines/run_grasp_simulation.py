@@ -33,6 +33,7 @@ from ..kin import iiwa, planner
 from ..grasp.sampler import NocsTransferGraspSampler, PointConeGraspSampler
 from ..pipelines.make_canonical import to_nunocs_transform
 from ..render import raymarch
+from ..sim import arm as simarm
 from ..sim import engine, env_pile, env_semantic as es
 from ..sim.env_grasp import GripperSpec, finger_boxes, finger_contact_points, gripper_env
 from ..sim.types import SceneParams, SceneState, build_shape_lib
@@ -41,6 +42,14 @@ Q_HOME = np.zeros(7, np.float32)  # straight-up home (clear of the bin)
 LIFT_HEIGHT = 0.25
 LIFT_STEPS = 80
 CLOSE_STEPS = 50
+
+# arm-executed phase lengths (engine steps; sim.arm scans are compiled once
+# per static split)
+N_APP, N_LIFT_A = 140, 50  # approach = RRT segment (110) + descent (30)
+N_MOVE_P, N_DROP_P = 140, 100
+FIXTURE_POS = np.array([-0.10, -0.50, 0.0], np.float32)  # world, beside bin,
+# within iiwa reach of the base at (-0.559, -0.367) — the reference's place
+# fixture likewise sits on the table next to the bin (run_grasp_simulation.py:497)
 
 
 # ---------------------------------------------------------------------------
@@ -119,6 +128,74 @@ def execute_pick(lib, state: SceneState, params: SceneParams, env_bin,
 _execute_pick_jit = jax.jit(execute_pick, static_argnames=("spec",))
 
 
+def _trans(t) -> np.ndarray:
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = t
+    return T
+
+
+def _place_with_arm(lib, state, params, env_bin, target, ob_in_grasp, width,
+                    q_cur, base_in_world, gripper, T_fix, class_name, sym,
+                    obs_base, seed, spec, verbose):
+    """Arm-executed place_action (reference ``run_grasp_simulation.py:375-463``):
+    symmetry loop for an IK-feasible place orientation, RRT transport from the
+    post-lift config to pre-place, Cartesian insertion descent, open fingers,
+    gravity drop, fixture-relative success check.
+
+    The RRT obstacle cloud is the pre-pick scan (the reference, too, plans
+    with the scene as last observed); transport happens at lift height so
+    staleness from pile disturbance is benign.
+    Returns (placed bool, state after the drop)."""
+    pre_t, place_t = es.TASK_POSES[class_name]
+    base_inv = np.linalg.inv(base_in_world)
+    ee_in_grasp = np.asarray(gripper.ee_in_grasp)
+    inv_oig = np.linalg.inv(np.asarray(ob_in_grasp))
+    rrt = planner.RRTConnect(obs_base.astype(np.float32), floor_z=-0.04,
+                             seed=seed + 77)
+    plan = None
+    for S in np.asarray(sym, np.float32):
+        O_pre = T_fix @ _trans(pre_t) @ S
+        O_place = T_fix @ _trans(place_t) @ S
+        ee_pre = (base_inv @ O_pre @ inv_oig @ ee_in_grasp).astype(np.float32)
+        ee_place = (base_inv @ O_place @ inv_oig @ ee_in_grasp).astype(np.float32)
+        q_pre, ok1 = iiwa.ik_best(jnp.asarray(ee_pre))
+        _, ok2 = iiwa.ik_best(jnp.asarray(ee_place))
+        if not (bool(ok1) and bool(ok2)):
+            continue
+        descent = np.stack([ee_pre * (1 - a) + ee_place * a
+                            for a in np.linspace(0, 1, 5)])
+        qs_d, okd = planner.plan_cartesian_waypoints(descent, q_seed=np.asarray(q_pre))
+        if not okd:
+            continue
+        path = rrt.plan(np.asarray(q_cur), np.asarray(q_pre), max_iter=500)
+        if path is None:
+            continue
+        plan = (np.stack(path), qs_d)
+        break
+    if plan is None:
+        if verbose:
+            print("    place: no IK-feasible/plannable orientation among "
+                  f"{len(sym)} symmetries")
+        return False, state
+    path, qs_d = plan
+    move = np.concatenate([simarm.resample_traj(path, N_MOVE_P - 40),
+                           simarm.resample_traj(qs_d, 40)]).astype(np.float32)
+    sched = np.concatenate([move, np.repeat(move[-1][None], N_DROP_P, axis=0)])
+    final, ob_pose_final = simarm.execute_place_arm(
+        lib, state, params, env_bin, jnp.int32(target), jnp.asarray(sched),
+        jnp.asarray(base_in_world), jnp.asarray(ee_in_grasp),
+        jnp.asarray(np.asarray(ob_in_grasp, np.float32)),
+        jnp.asarray(width), spec, n_move=N_MOVE_P, n_drop=N_DROP_P)
+    ob_in_fix = np.linalg.inv(T_fix) @ np.asarray(ob_pose_final)
+    placed = bool(es.place_success(class_name, jnp.asarray(ob_in_fix),
+                                   jnp.asarray(place_t, jnp.float32)))
+    if verbose and not placed:
+        print(f"    place: dropped at fixture-frame t={ob_in_fix[:3, 3].round(4)}"
+              f" z-axis={ob_in_fix[:3, 2].round(3)} (want xy<=6mm of "
+              f"{place_t[:2]}, z<={es._SUCCESS_Z_MAX[class_name]}, upright)")
+    return placed, final
+
+
 # ---------------------------------------------------------------------------
 # Grasp affordance P(T|G) from the canonical codebook
 # ---------------------------------------------------------------------------
@@ -161,7 +238,8 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                           predicters: dict | None = None, seed: int = 0,
                           max_attempts_per_round: int = 8,
                           render_hw=(384, 512), verbose: bool = True,
-                          metrics_path: str | None = None, use_arm: bool = True):
+                          metrics_path: str | None = None, use_arm: bool = True,
+                          arm_exec: bool = True):
     from ..utils.metrics import MetricsLogger
 
     mlog = MetricsLogger(metrics_path, run="eval", class_name=class_name,
@@ -183,6 +261,11 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
 
     pile_cfg = env_pile.PileConfig(max_bodies=n_objects, scale_range=(0.9, 1.1))
     env_bin = engine.StaticEnv.open_bin(pile_cfg.bin_inner)
+    # table slab under the fixture area (the reference's bin and fixture both
+    # sit on a table): catches objects that miss/bounce off the fixture
+    env_bin = simarm.merge_envs(env_bin, engine.StaticEnv.boxes(
+        jnp.array([[FIXTURE_POS[0], FIXTURE_POS[1], -0.006]]),
+        jnp.array([[0.15, 0.15, 0.005]])))
     H, W = render_hw
     # focal scales with resolution (reference: fx 2257.75 at 2064 wide,
     # config.yml:1-3) so pixel density on the pile grows with render_hw
@@ -220,19 +303,49 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
             max_n_grasp=int(cfg_run.get("nocs_grasp_sampler_max_n_grasp", 10000)),
         )
 
+    # the place fixture lives IN the scene as a huge-mass body (reference
+    # loads the *_place.obj into the same world, run_grasp_simulation.py:497)
+    # so arm-executed insertion contact is simulated, not assumed
+    T_fix = np.eye(4, dtype=np.float32)
+    T_fix[:3, 3] = FIXTURE_POS
+    fix_pts_base = (np.asarray(lib.surf_pts)[fixture_idx] + FIXTURE_POS
+                    - base_in_world[:3, 3]) @ base_in_world[:3, :3]
+
+    def add_fixture_body(state_p: SceneState) -> SceneState:
+        return SceneState(
+            pos=jnp.concatenate([state_p.pos, jnp.asarray(FIXTURE_POS)[None]]),
+            quat=jnp.concatenate([state_p.quat,
+                                  jnp.zeros((1, 4)).at[0, 0].set(1.0)]),
+            linvel=jnp.concatenate([state_p.linvel, jnp.zeros((1, 3))]),
+            angvel=jnp.concatenate([state_p.angvel, jnp.zeros((1, 3))]),
+            active=jnp.concatenate([state_p.active, jnp.ones(1, bool)]),
+        )
+
+    def keep_fixture(state_f: SceneState) -> SceneState:
+        # settle's out-of-bin cull must not deactivate the fixture
+        return state_f.replace(active=state_f.active.at[n_objects].set(True))
+
     for rnd in range(n_rounds):
         key, k1 = jax.random.split(key)
         # build a pile of test instances (reference: 4-7 objects, :485-519)
-        shape_id = jnp.asarray(rng.integers(0, n_inst, n_objects), jnp.int32)
-        scale = jnp.asarray(rng.uniform(*pile_cfg.scale_range, n_objects), jnp.float32)
+        shape_id = jnp.asarray(
+            np.concatenate([rng.integers(0, n_inst, n_objects), [fixture_idx]]),
+            jnp.int32)
+        scale = jnp.asarray(
+            np.concatenate([rng.uniform(*pile_cfg.scale_range, n_objects), [1.0]]),
+            jnp.float32)
         params = SceneParams.create(lib, shape_id, scale)
-        state, _ = env_pile.reset(k1, lib, pile_cfg, n_objects=jnp.int32(n_objects))
-        state = state.replace(active=jnp.arange(n_objects) < n_objects)
-        state = env_pile.settle_fixed(state, params, lib, env_bin, pile_cfg, 500)
-        counters.num_objects += int(np.asarray(state.active).sum())
+        params = params.replace(mass=params.mass.at[n_objects].set(1e9),
+                                inertia=params.inertia.at[n_objects].set(1e9))
+        state_p, _ = env_pile.reset(k1, lib, pile_cfg, n_objects=jnp.int32(n_objects))
+        state = add_fixture_body(
+            state_p.replace(active=jnp.ones(n_objects, bool)))
+        state = keep_fixture(
+            env_pile.settle_fixed(state, params, lib, env_bin, pile_cfg, 500))
+        counters.num_objects += int(np.asarray(state.active)[:n_objects].sum())
 
         for attempt in range(max_attempts_per_round):
-            active = np.asarray(state.active)
+            active = np.asarray(state.active)[:n_objects]
             if not active.any():
                 break
             out = raymarch.render(lib, state, params, Kc, cam_j, H, W, env=env_bin)
@@ -376,6 +489,7 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
             # env.py:140 — iterate candidates until one is reachable AND
             # plannable, run_grasp_simulation.py:332-368) -------------------
             pick = None
+            pick_plan = None
             if use_arm:
                 # target points excluded: the wrist/tool necessarily comes
                 # within capsule radius of the object it grasps (the
@@ -385,10 +499,13 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                     obs_cam = obs_cam[rng.choice(len(obs_cam), 1024, replace=False)]
                 obs_base = obs_cam @ np.asarray(cam_in_base)[:3, :3].T \
                     + np.asarray(cam_in_base)[:3, 3]
+                # fixture is an RRT obstacle too (out of camera frame)
+                obs_base = np.concatenate([obs_base, fix_pts_base])
                 # floor in BASE frame: bin floor is ~0.052 below the base
                 rrt = planner.RRTConnect(obs_base.astype(np.float32),
                                          floor_z=-0.04, seed=seed)
                 n_ik_fail = n_plan_fail = 0
+                pick_plan = None
                 for i in order[:12]:
                     g_base = (np.linalg.inv(base_in_world) @ cam
                               @ grasps_cam[i]).astype(np.float32)
@@ -411,9 +528,21 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                     if not ok_d:
                         n_ik_fail += 1
                         continue
+                    # straight-up lift waypoints (the reference lifts via
+                    # move_arm after the close, :369-373)
+                    ee_lift = ee_goal.copy()
+                    ee_lift[:3, 3] += [0.0, 0.0, LIFT_HEIGHT]
+                    lift_poses = np.stack([ee_goal * (1 - a) + ee_lift * a
+                                           for a in np.linspace(0, 1, 5)])
+                    qs_l, ok_l = planner.plan_cartesian_waypoints(
+                        lift_poses, q_seed=qs_d[-1])
+                    if not ok_l:
+                        n_ik_fail += 1
+                        continue
                     path = rrt.plan(Q_HOME, np.asarray(q_pre), max_iter=500)
                     if path is not None:
                         pick = i
+                        pick_plan = (np.stack(path), qs_d, qs_l)
                         break
                     n_plan_fail += 1
                 if pick is None:
@@ -432,20 +561,52 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
 
             # --- execute pick ----------------------------------------------
             counters.num_attempts += 1
-            # target is traced (dynamic index) — one compile serves every
-            # target/attempt instead of one per pile slot
-            picked, state_after, ob_in_grasp, w_f = _execute_pick_jit(
-                lib, state, params, env_bin, jnp.int32(target), grasp_world, spec)
+            disturb = 0.0
+            if use_arm and arm_exec and pick_plan is not None:
+                # arm-executed pick: the planned RRT path + Cartesian descent
+                # are STEPPED in the scene (reference Command.execute,
+                # kuka_primitives.py:172) — pile disturbance is simulated
+                path, qs_d, qs_l = pick_plan
+                app = np.concatenate([
+                    simarm.resample_traj(path, N_APP - 30),
+                    simarm.resample_traj(qs_d, 30)])
+                q_grasp = app[-1]
+                sched = np.concatenate([
+                    app,
+                    np.repeat(q_grasp[None], CLOSE_STEPS + LIFT_STEPS, axis=0),
+                    simarm.resample_traj(qs_l, N_LIFT_A)]).astype(np.float32)
+                picked, state_after, ob_in_grasp, w_f, disturb = \
+                    simarm.execute_pick_arm(
+                        lib, state, params, env_bin, jnp.int32(target),
+                        jnp.asarray(sched), jnp.asarray(base_in_world),
+                        jnp.asarray(gripper.ee_in_grasp), spec,
+                        n_app=N_APP, n_close=CLOSE_STEPS, n_hold=LIFT_STEPS)
+                disturb = float(disturb)
+                q_after_pick = sched[-1]
+            else:
+                # floating-gripper pick (comparison baseline / no-arm mode):
+                # target is traced (dynamic index) — one compile serves every
+                # target/attempt instead of one per pile slot
+                picked, state_after, ob_in_grasp, w_f = _execute_pick_jit(
+                    lib, state, params, env_bin, jnp.int32(target), grasp_world, spec)
+                q_after_pick = None
             picked = bool(picked)
             if picked:
                 counters.num_stable_grasp += 1
-                # --- place over the fixture (env_semantic phase B/C): the
-                # grasp pose in the object frame reflects any in-hand slip
-                # that happened during the pick -----------------------------
-                grasp_in_ob = tf.pose_inverse(jnp.asarray(ob_in_grasp))
-                placed = bool(es.place_and_drop(
-                    lib, shape_id[target], jnp.int32(fixture_idx), scale[target],
-                    grasp_in_ob, class_name, w_f, spec))
+                if use_arm and arm_exec and q_after_pick is not None:
+                    placed, state_after = _place_with_arm(
+                        lib, state_after, params, env_bin, target,
+                        np.asarray(ob_in_grasp), w_f, q_after_pick,
+                        base_in_world, gripper, T_fix, class_name, sym,
+                        obs_base, seed, spec, verbose)
+                else:
+                    # fixture-world place (floating baseline): the grasp pose
+                    # in the object frame reflects any in-hand slip from the
+                    # pick
+                    grasp_in_ob = tf.pose_inverse(jnp.asarray(ob_in_grasp))
+                    placed = bool(es.place_and_drop(
+                        lib, shape_id[target], jnp.int32(fixture_idx),
+                        scale[target], grasp_in_ob, class_name, w_f, spec))
                 mlog.event("place", round=rnd, attempt=attempt, placed=placed,
                            slip=float(np.linalg.norm(
                                np.asarray(ob_in_grasp)[:3, 3] - [0.02, 0, 0])))
@@ -456,10 +617,12 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
             # after a pick attempt touched it)
             state = state_after.replace(
                 active=state_after.active.at[target].set(~jnp.bool_(picked)))
-            state = env_pile.settle_fixed(state, params, lib, env_bin, pile_cfg, 150)
+            state = keep_fixture(
+                env_pile.settle_fixed(state, params, lib, env_bin, pile_cfg, 150))
             mlog.event("attempt", round=rnd, attempt=attempt, target=target,
                        n_candidates=len(grasps_cam), picked=picked,
                        placed=bool(picked and placed),
+                       disturbance=float(disturb),
                        p_G=float(p_G[pick]), p_T_given_G=float(p_T_given_G[pick]),
                        p_T_G=float(p_T_G[pick]))
             if verbose:
@@ -486,6 +649,9 @@ def main():
     ap.add_argument("--metrics", default=None, help="JSONL metrics path")
     ap.add_argument("--use_arm", type=int, default=1,
                     help="gate grasps on IK reachability + RRT plannability")
+    ap.add_argument("--arm_exec", type=int, default=1,
+                    help="step the planned arm motion in the scene (pick AND "
+                         "place through the arm); 0 = floating-gripper baseline")
     args = ap.parse_args()
 
     cfg_run = load_config("config_run.yml")
@@ -500,7 +666,8 @@ def main():
                               cfg_run, oracle=bool(args.oracle),
                               canonical=canonical, predicters=predicters,
                               seed=args.seed, metrics_path=args.metrics,
-                              use_arm=bool(args.use_arm))
+                              use_arm=bool(args.use_arm),
+                              arm_exec=bool(args.arm_exec))
     print(f"num_objects={c.num_objects} num_attempts={c.num_attempts} "
           f"num_stable_grasp={c.num_stable_grasp} "
           f"num_task_grasp_succ={c.num_task_grasp_succ}")

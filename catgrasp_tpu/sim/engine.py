@@ -34,6 +34,10 @@ DT = 1.0 / 240.0
 BAUMGARTE = 0.2
 SLOP = 2e-4
 N_ITER = 4
+# bodies at/above this mass are "static fixtures": they collide (with an
+# effectively infinite inertia) but receive no gravity, the convention used
+# for placement fixtures (the reference loads *_place.obj with baseMass=0)
+STATIC_MASS = 1e8
 
 
 @struct.dataclass
@@ -253,7 +257,8 @@ def step(state: SceneState, params: SceneParams, lib: ShapeLib, env: StaticEnv,
          linear_damping: float = 0.02, angular_damping: float = 0.05) -> SceneState:
     """One physics step — replaces ``p.stepSimulation()``."""
     g = jnp.array([0.0, 0.0, gravity])
-    linvel = state.linvel + jnp.where(state.active[:, None], g * dt, 0.0)
+    dynamic = state.active & (params.mass < STATIC_MASS)
+    linvel = state.linvel + jnp.where(dynamic[:, None], g * dt, 0.0)
     st = state.replace(linvel=linvel)
 
     linvel, angvel = _solve_contacts(st, params, lib, env, dt, n_iter)

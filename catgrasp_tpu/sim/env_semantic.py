@@ -48,18 +48,23 @@ TASK_POSES = {
 }
 
 # success bands (meters): object settled INTO the feature, not on top of it
+# (max) and not fallen past/through it (min: resting on the fixture base —
+# nut plate top 0.01, screw/hnm block base)
 _SUCCESS_Z_MAX = {"nut": 0.03, "screw": 0.04, "hnm": 0.035}
+_SUCCESS_Z_MIN = {"nut": 0.005, "screw": 0.005, "hnm": 0.005}
 
 
 def place_success(class_name: str, ob_pose: jnp.ndarray, place_pos: jnp.ndarray) -> jnp.ndarray:
     """Class-specific placement check (``get_place_success_func``,
     ``Utils.py:38-76`` semantics): xy-center proximity + axis parallelism +
     a height band proving the part actually threaded/seated (resting on the
-    peg tip / block top reads as too high -> fail)."""
+    peg tip / block top reads as too high -> fail; fallen past the fixture
+    reads as too low -> fail)."""
     xy_ok = jnp.linalg.norm(ob_pose[:2, 3] - place_pos[:2]) <= 0.006
     z_axis = ob_pose[:3, 2]
     axis_ok = jnp.abs(z_axis[2]) >= jnp.cos(jnp.deg2rad(20.0))
-    z_ok = ob_pose[2, 3] <= _SUCCESS_Z_MAX[class_name]
+    z_ok = ((ob_pose[2, 3] <= _SUCCESS_Z_MAX[class_name])
+            & (ob_pose[2, 3] >= _SUCCESS_Z_MIN[class_name]))
     return xy_ok & z_ok & axis_ok
 
 
