@@ -226,6 +226,53 @@ def query_shapes(values: jnp.ndarray, lowers: jnp.ndarray, spacings: jnp.ndarray
     return query(values[shape_id], lowers[shape_id], spacings[shape_id], pts)
 
 
+def query_and_grad(grid_values: jnp.ndarray, lower: jnp.ndarray,
+                   spacing: jnp.ndarray, pts: jnp.ndarray):
+    """Trilinear value AND analytic gradient from one 8-corner fetch —
+    the contact-narrowphase primitive for baked grids (one gather pass vs
+    seven for :func:`query` + central-difference :func:`grad`).
+
+    Returns (phi (...,), normal (..., 3) unit).  Outside the grid the
+    boundary value gets the conservative Euclidean push of :func:`query`
+    and its direction joins the gradient.
+    """
+    dims = jnp.array(grid_values.shape, jnp.float32)
+    g = (pts - lower) / spacing
+    g_cl = jnp.clip(g, 0.0, dims - 1.000001)
+    i0 = jnp.floor(g_cl).astype(jnp.int32)
+    i0 = jnp.minimum(i0, jnp.array(grid_values.shape, jnp.int32) - 2)
+    frac = g_cl - i0
+
+    def gv(di, dj, dk):
+        return grid_values[i0[..., 0] + di, i0[..., 1] + dj, i0[..., 2] + dk]
+
+    v000, v100 = gv(0, 0, 0), gv(1, 0, 0)
+    v010, v110 = gv(0, 1, 0), gv(1, 1, 0)
+    v001, v101 = gv(0, 0, 1), gv(1, 0, 1)
+    v011, v111 = gv(0, 1, 1), gv(1, 1, 1)
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+
+    c00 = v000 * (1 - fx) + v100 * fx
+    c10 = v010 * (1 - fx) + v110 * fx
+    c01 = v001 * (1 - fx) + v101 * fx
+    c11 = v011 * (1 - fx) + v111 * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    val = c0 * (1 - fz) + c1 * fz
+
+    dx = (((v100 - v000) * (1 - fy) + (v110 - v010) * fy) * (1 - fz)
+          + ((v101 - v001) * (1 - fy) + (v111 - v011) * fy) * fz)
+    dy = ((c10 - c00) * (1 - fz) + (c11 - c01) * fz)
+    dz = c1 - c0
+    grad_in = jnp.stack([dx, dy, dz], axis=-1) / spacing
+
+    out_vec = (g - g_cl) * spacing
+    out_d = jnp.linalg.norm(out_vec, axis=-1)
+    n = grad_in + out_vec / (out_d[..., None] + 1e-9) * (out_d[..., None] > 0)
+    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-9)
+    return val + out_d, n
+
+
 def grad(grid_values: jnp.ndarray, lower: jnp.ndarray, spacing: jnp.ndarray,
          pts: jnp.ndarray, eps: float | None = None) -> jnp.ndarray:
     """SDF gradient (outward normal direction) by central differences."""

@@ -32,17 +32,25 @@ from ..ops import collision as pallas_collision
 from ..sim.env_grasp import GripperSpec, finger_boxes
 
 ADJUST_OFFSETS = np.array([0.0, 1e-3, -1e-3, 2e-3, -2e-3, 3e-3, -3e-3], dtype=np.float32)
+# approach-depth adjust extension (deepest collision-free engagement wins):
+# the reference adjusts laterally only (``common.cpp:253-287``); tip-
+# engagement holds that slip under gravity were the dominant pick failure,
+# and pushing the grasp deeper along the approach (when free) is the fix
+DEPTH_OFFSETS = np.array([0.0, 1e-3, 2e-3, 3e-3], dtype=np.float32)
 
 
-def _static_open_boxes(spec: GripperSpec) -> tuple:
+def _static_open_boxes(spec: GripperSpec, depth: float = 0.0) -> tuple:
     """Open-gripper finger/palm boxes as compile-time constants (the spec is
     a static dataclass, so ``finger_boxes`` at max width is pure numbers;
-    numpy mirror so this stays concrete under an outer jit trace)."""
+    numpy mirror so this stays concrete under an outer jit trace).
+
+    ``depth``: testing the grasp pushed deeper by d along +x equals testing
+    the original-frame cloud against boxes shifted +d in x."""
     t = spec.finger_thickness
     cy = spec.max_width / 2 + t / 2
-    centers = ((spec.finger_len / 2, cy, 0.0),
-               (spec.finger_len / 2, -cy, 0.0),
-               (-spec.palm_depth / 2, 0.0, 0.0))
+    centers = ((spec.finger_len / 2 + depth, cy, 0.0),
+               (spec.finger_len / 2 + depth, -cy, 0.0),
+               (-spec.palm_depth / 2 + depth, 0.0, 0.0))
     halves = ((spec.finger_len / 2, t / 2, spec.finger_depth / 2),
               (spec.finger_len / 2, t / 2, spec.finger_depth / 2),
               (spec.palm_depth / 2, spec.max_width / 2 + t + 0.01,
@@ -50,14 +58,14 @@ def _static_open_boxes(spec: GripperSpec) -> tuple:
     return pallas_collision.as_static_boxes(centers, halves)
 
 
-def _static_enclosed_box(spec: GripperSpec) -> tuple:
+def _static_enclosed_box(spec: GripperSpec, depth: float = 0.0) -> tuple:
     """Between-fingers closing volume (the reference's ``gripper_enclosed``
     mesh test, ``common.cpp:241-249``): anything NON-target inside the air
     gap the fingers close through gets squeezed -> reject.  Bounded by the
     finger INNER faces (max_width/2) — including the finger bodies here
     would veto valid grasps whenever a neighbor sits beside the closed
     finger's resting position."""
-    center = ((spec.finger_len / 2, 0.0, 0.0),)
+    center = ((spec.finger_len / 2 + depth, 0.0, 0.0),)
     half = ((spec.finger_len / 2,
              spec.max_width / 2,
              spec.finger_depth / 2),)
@@ -83,7 +91,7 @@ def _hits_per_offset(pts: jnp.ndarray, centers: jnp.ndarray, halves: jnp.ndarray
     return jnp.any(hit, axis=(0, 1))  # (A,)
 
 
-@partial(jax.jit, static_argnames=("spec", "filter_approach", "filter_ik", "adjust", "margin", "n_psi", "chunk", "backend"))
+@partial(jax.jit, static_argnames=("spec", "filter_approach", "filter_ik", "adjust", "adjust_depth", "margin", "n_psi", "chunk", "backend"))
 def filter_grasp_poses(
     grasp_poses: jnp.ndarray,  # (G, 4, 4) in canonical frame
     symmetry_tfs: jnp.ndarray,  # (S, 4, 4)
@@ -98,6 +106,7 @@ def filter_grasp_poses(
     filter_approach: bool = True,
     filter_ik: bool = True,
     adjust: bool = True,
+    adjust_depth: bool = False,  # extend the adjust search along approach +x
     margin: float = 5e-4,  # octree-resolution analog (grasp_sampler.py:213)
     n_psi: int = 16,
     chunk: int = 64,
@@ -142,43 +151,64 @@ def filter_grasp_poses(
 
     # --- collision: clouds in grasp frame vs analytic gripper boxes --------
     offsets = jnp.asarray(ADJUST_OFFSETS if adjust else ADJUST_OFFSETS[:1])
+    depths = DEPTH_OFFSETS if adjust_depth else DEPTH_OFFSETS[:1]
     if backend == "auto":
         backend = "pallas"
     if backend == "pallas":
-        # fused transform + box-test + OR-reduce on chip (ops/collision.py)
+        # fused transform + box-test + OR-reduce on chip (ops/collision.py);
+        # one kernel pair per static depth offset
         off_static = tuple(float(o) for o in
                            (ADJUST_OFFSETS if adjust else ADJUST_OFFSETS[:1]))
         interp = jax.default_backend() != "tpu"
         T_inv = pallas_collision.pose_inverse_batch(T)
-        hit_open = pallas_collision.box_hits(
-            T_inv, collision_cloud, collision_mask,
-            _static_open_boxes(spec), off_static, margin, interpret=interp)
-        hit_enc = pallas_collision.box_hits(
-            T_inv, background_cloud, background_mask,
-            _static_enclosed_box(spec), off_static, margin, interpret=interp)
-        free = ~(hit_open | hit_enc)  # (GS, A)
+        frees = []
+        for d in depths:
+            hit_open = pallas_collision.box_hits(
+                T_inv, collision_cloud, collision_mask,
+                _static_open_boxes(spec, float(d)), off_static, margin,
+                interpret=interp)
+            hit_enc = pallas_collision.box_hits(
+                T_inv, background_cloud, background_mask,
+                _static_enclosed_box(spec, float(d)), off_static, margin,
+                interpret=interp)
+            frees.append(~(hit_open | hit_enc))
+        free = jnp.stack(frees, axis=1)  # (GS, D, A)
     else:
-        open_centers, open_halves = finger_boxes(jnp.asarray(spec.max_width), spec)
-        enc_center = jnp.array([[spec.finger_len / 2, 0.0, 0.0]])
+        enc_center0 = np.array([[spec.finger_len / 2, 0.0, 0.0]], np.float32)
         enc_half = jnp.array([[spec.finger_len / 2,
                                spec.max_width / 2,
                                spec.finger_depth / 2]])
+        open_centers0, open_halves = finger_boxes(jnp.asarray(spec.max_width), spec)
 
         def collide_one(T_i):
             T_inv = tf.pose_inverse(T_i)
             pts_c = tf.transform_points(T_inv, collision_cloud)
             pts_b = tf.transform_points(T_inv, background_cloud)
-            hit_open = _hits_per_offset(pts_c, open_centers, open_halves,
-                                        collision_mask, offsets, margin)
-            hit_enc = _hits_per_offset(pts_b, enc_center, enc_half,
-                                       background_mask, offsets, margin)
-            return ~(hit_open | hit_enc)  # (A,) free per offset
+            per_d = []
+            for d in depths:
+                dx = jnp.array([float(d), 0.0, 0.0])
+                hit_open = _hits_per_offset(pts_c, open_centers0 + dx, open_halves,
+                                            collision_mask, offsets, margin)
+                hit_enc = _hits_per_offset(pts_b, jnp.asarray(enc_center0) + dx,
+                                           enc_half, background_mask, offsets, margin)
+                per_d.append(~(hit_open | hit_enc))
+            return jnp.stack(per_d)  # (D, A) free per (depth, offset)
 
-        free = jax.lax.map(collide_one, T, batch_size=chunk)  # (GS, A)
-    any_free = jnp.any(free, axis=-1)
-    first = jnp.argmax(free, axis=-1)  # first free offset in search order
+        free = jax.lax.map(collide_one, T, batch_size=chunk)  # (GS, D, A)
+
+    # selection: deepest collision-free engagement wins; within a depth, the
+    # reference's lateral search order (first free).  With adjust_depth off,
+    # D == 1 and this reduces exactly to the reference semantics.
+    D = free.shape[1]
+    any_free_d = jnp.any(free, axis=-1)  # (GS, D)
+    d_idx = (D - 1) - jnp.argmax(jnp.flip(any_free_d, axis=-1), axis=-1)
+    oh_d = (jnp.arange(D)[None] == d_idx[:, None])  # one-hot, no gathers
+    free_sel = jnp.sum(free * oh_d[..., None], axis=1) > 0  # (GS, A)
+    any_free = jnp.any(free_sel, axis=-1)
+    first = jnp.argmax(free_sel, axis=-1)  # first free offset in search order
     dy = offsets[first]
-    shift = T[:, :3, 1] * dy[:, None]
+    dx = jnp.sum(jnp.asarray(depths) * oh_d, axis=-1)
+    shift = T[:, :3, 1] * dy[:, None] + T[:, :3, 0] * dx[:, None]
     T = T.at[:, :3, 3].add(jnp.where(any_free[:, None], shift, 0.0))
     stats["n_collision_rej"] = jnp.sum(valid & ~any_free)
     valid &= any_free
@@ -189,3 +219,27 @@ def filter_grasp_poses(
 def compact_valid(poses: np.ndarray, valid: np.ndarray) -> np.ndarray:
     """Host-side compaction of the masked candidate set."""
     return np.asarray(poses)[np.asarray(valid)]
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def engagement_depth(points: jnp.ndarray, grasp_poses: jnp.ndarray,
+                     spec: GripperSpec = GripperSpec()) -> jnp.ndarray:
+    """How deeply each grasp engages the target: (K, 4, 4), (C, 3) -> (K,)
+    in [0, 1].  0 = object only at the fingertip plane (tip-engagement
+    holds slip under gravity), 1 = object reaches the finger roots.
+
+    Used as a ranking tiebreak in the closed loop — the reference ranks by
+    p(T,G) alone, which saturates in oracle mode and is blind to engagement.
+    """
+    fl = spec.finger_len
+
+    def one(T):
+        pts_g = tf.transform_points(tf.pose_inverse(T), points)
+        in_chan = ((jnp.abs(pts_g[:, 1]) <= spec.max_width / 2 + 1e-3)
+                   & (jnp.abs(pts_g[:, 2]) <= spec.finger_depth / 2)
+                   & (pts_g[:, 0] <= fl))
+        x = jnp.where(in_chan, pts_g[:, 0], fl)
+        depth = fl - jnp.min(x)
+        return jnp.clip(depth / fl, 0.0, 1.0) * jnp.any(in_chan)
+
+    return jax.vmap(one)(grasp_poses)

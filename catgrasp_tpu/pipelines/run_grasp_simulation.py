@@ -394,16 +394,19 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                 # at reference run_grasp_simulation.py:139)
                 bg_m = ~m & (seg_body != -1)
                 depth_img = np.asarray(out["depth"])
+                # 1.56 mm occupancy voxels (128^3 over 0.2 m reach): the
+                # 3.1 mm grid of round 1 blocked deep engagements with
+                # phantom occupied space around thin features
                 occ_c, occ_m = occupancy.background_cloud_from_depth(
                     jnp.asarray(np.where(m, 0.0, depth_img)), Kc,
-                    jnp.asarray(seg), -1, grid_dims=(64, 64, 64),
+                    jnp.asarray(seg), -1, grid_dims=(128, 128, 128),
                     pad=1e-3, center=jnp.asarray(pts.mean(0)), reach=0.1)
                 occ_pts = np.asarray(occ_c)[np.asarray(occ_m)]
                 bg = np.concatenate([xyz[bg_m], occ_pts.astype(np.float32)])
                 if len(bg) == 0:
                     bg = np.full((1, 3), 999.0, np.float32)
-                elif len(bg) > 2048:
-                    bg = bg[rng.choice(len(bg), 2048, replace=False)]
+                elif len(bg) > 4096:
+                    bg = bg[rng.choice(len(bg), 4096, replace=False)]
 
                 # --- pose estimation (oracle or net) -----------------------
                 # nocs_pose maps CENTERED NUNOCS ([-0.5,0.5]^3) -> cam frame
@@ -425,9 +428,10 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                 n_sub = min(len(pts), 512)
                 ids = rng.choice(len(pts), n_sub, replace=False)
                 poses_c, valid_c, fstats = cone.sample_grasps(
-                    k2, pts[ids], nrm[ids], background_cloud=bg[:2048],
-                    background_mask=np.ones(min(len(bg), 2048), bool),
-                    cam_in_world=cam_in_base, filter_ik=True, chunk=128)
+                    k2, pts[ids], nrm[ids], background_cloud=bg[:4096],
+                    background_mask=np.ones(min(len(bg), 4096), bool),
+                    cam_in_world=cam_in_base, filter_ik=True, chunk=128,
+                    adjust_depth=True)
                 cand = [np.asarray(poses_c)[np.asarray(valid_c)]]
                 mlog.event("filter", round=rnd, attempt=attempt, seg=int(sid),
                            n_valid=int(np.asarray(valid_c).sum()),
@@ -436,11 +440,12 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                     poses_n, valid_n, _ = nocs_sampler.sample_grasps(
                         nocs_pose=jnp.asarray(nocs_pose),
                         symmetry_tfs=jnp.asarray(sym),
-                        background_cloud=bg[:2048],
-                        background_mask=np.ones(min(len(bg), 2048), bool),
+                        background_cloud=bg[:4096],
+                        background_mask=np.ones(min(len(bg), 4096), bool),
                         collision_cloud=pts[ids],
                         collision_mask=np.ones(n_sub, bool),
-                        cam_in_world=cam_in_base, filter_ik=True, chunk=128)
+                        cam_in_world=cam_in_base, filter_ik=True, chunk=128,
+                        adjust_depth=True)
                     cand.append(np.asarray(poses_n)[np.asarray(valid_n)])
                 grasps_cam = (np.concatenate(cand) if any(len(c) for c in cand)
                               else np.zeros((0, 4, 4)))
@@ -481,8 +486,14 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
             if not ok.any():
                 ok = p_T_G >= 0  # fall back to best-effort pick (keep clearing)
             # threshold-passing candidates first, then best-effort rest
-            # (keep clearing the bin even when scores are uniformly low)
-            srt = np.argsort(-p_T_G)
+            # (keep clearing the bin even when scores are uniformly low).
+            # Engagement depth breaks near-ties in p(T,G) — tip-engagement
+            # holds slip under gravity (p_T_G saturates at 1.0 in oracle
+            # mode, so without this the order among good grasps is arbitrary)
+            from ..grasp.filter import engagement_depth
+            eng = np.asarray(engagement_depth(jnp.asarray(pts),
+                                              jnp.asarray(grasps_cam), spec))
+            srt = np.lexsort((-eng, -np.round(p_T_G, 2)))
             order = [i for i in srt if ok[i]] + [i for i in srt if not ok[i]]
 
             # --- arm: IK + RRT-connect to the pregrasp (reference move_arm,

@@ -142,6 +142,34 @@ def _sdf_vs_bodies(w_pts, state, params, lib):
     return phi, n_world
 
 
+def _sdf_vs_bodies_grid(w_pts, state, params, lib):
+    """Grid-narrowphase variant of :func:`_sdf_vs_bodies`: trilinear lookup
+    + analytic gradient in each body's baked SDF grid (``lib.sdf_values``,
+    built with ``build_shape_lib(bake_grids=True)``).
+
+    This is the arbitrary-mesh path (any watertight .obj simulates without a
+    CSG tree — the reference's FCL/VHACD/SDF route,
+    ``my_cpp/collision_manager.cpp:15-52``, ``meshpy/meshpy/sdf.py:345-361``).
+    Slower than CSG on TPU (the 8-corner fetch is a gather), so CSG stays
+    the default for procedural shapes."""
+    from ..geom import sdf as sdflib
+
+    R = tf.quat_to_matrix(state.quat)
+    rel = w_pts[:, :, None, :] - state.pos[None, None, :, :]
+    loc = jnp.einsum("bji,npbj->npbi", R, rel) / params.scale[None, None, :, None]
+
+    def q_one(shape_id, scale, pts):
+        phi, n = sdflib.query_and_grad(
+            lib.sdf_values[shape_id], lib.sdf_lower[shape_id],
+            lib.sdf_spacing[shape_id], pts)
+        return phi * scale, n
+
+    phi, n_loc = jax.vmap(q_one, in_axes=(0, 0, 2), out_axes=(2, 2))(
+        params.shape_id, params.scale, loc)
+    n_world = jnp.einsum("bij,npbj->npbi", R, n_loc)
+    return phi, n_world
+
+
 def _sdf_vs_env(w_pts, env: StaticEnv):
     """φ and world normal of every point vs every env box: (N,P,M), (N,P,M,3)."""
     Rm = tf.quat_to_matrix(env.quat)  # (M,3,3)
@@ -154,13 +182,15 @@ def _sdf_vs_env(w_pts, env: StaticEnv):
 
 
 def _solve_contacts(state: SceneState, params: SceneParams, lib: ShapeLib,
-                    env: StaticEnv, dt: float, n_iter: int):
+                    env: StaticEnv, dt: float, n_iter: int,
+                    narrowphase: str = "csg"):
     """Jacobi impulse iteration; returns new (linvel, angvel)."""
     N = state.pos.shape[0]
     w_pts = _body_surface_points(state, params, lib)  # (N,P,3)
     P = w_pts.shape[1]
 
-    phi_b, n_b = _sdf_vs_bodies(w_pts, state, params, lib)  # (N,P,N[,3])
+    body_sdf = _sdf_vs_bodies_grid if narrowphase == "grid" else _sdf_vs_bodies
+    phi_b, n_b = body_sdf(w_pts, state, params, lib)  # (N,P,N[,3])
     phi_e, n_e = _sdf_vs_env(w_pts, env)  # (N,P,M[,3])
 
     # mask invalid pairs
@@ -251,17 +281,18 @@ def _solve_contacts(state: SceneState, params: SceneParams, lib: ShapeLib,
     return linvel, angvel
 
 
-@partial(jax.jit, static_argnames=("n_iter",))
+@partial(jax.jit, static_argnames=("n_iter", "narrowphase"))
 def step(state: SceneState, params: SceneParams, lib: ShapeLib, env: StaticEnv,
          dt: float = DT, gravity: float = -9.8, n_iter: int = N_ITER,
-         linear_damping: float = 0.02, angular_damping: float = 0.05) -> SceneState:
+         linear_damping: float = 0.02, angular_damping: float = 0.05,
+         narrowphase: str = "csg") -> SceneState:
     """One physics step — replaces ``p.stepSimulation()``."""
     g = jnp.array([0.0, 0.0, gravity])
     dynamic = state.active & (params.mass < STATIC_MASS)
     linvel = state.linvel + jnp.where(dynamic[:, None], g * dt, 0.0)
     st = state.replace(linvel=linvel)
 
-    linvel, angvel = _solve_contacts(st, params, lib, env, dt, n_iter)
+    linvel, angvel = _solve_contacts(st, params, lib, env, dt, n_iter, narrowphase)
     linvel = linvel * (1.0 - linear_damping)
     angvel = angvel * (1.0 - angular_damping)
 
@@ -272,13 +303,15 @@ def step(state: SceneState, params: SceneParams, lib: ShapeLib, env: StaticEnv,
     return state.replace(pos=pos, quat=quat, linvel=linvel, angvel=angvel)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "n_iter"))
+@partial(jax.jit, static_argnames=("n_steps", "n_iter", "narrowphase"))
 def rollout(state: SceneState, params: SceneParams, lib: ShapeLib, env: StaticEnv,
-            n_steps: int, dt: float = DT, gravity: float = -9.8, n_iter: int = N_ITER) -> SceneState:
+            n_steps: int, dt: float = DT, gravity: float = -9.8, n_iter: int = N_ITER,
+            narrowphase: str = "csg") -> SceneState:
     """Step n_steps with lax.scan (one compiled loop, no host round trips)."""
 
     def body(s, _):
-        return step(s, params, lib, env, dt, gravity, n_iter), None
+        return step(s, params, lib, env, dt, gravity, n_iter,
+                    narrowphase=narrowphase), None
 
     out, _ = jax.lax.scan(body, state, None, length=n_steps)
     return out

@@ -126,10 +126,10 @@ def open_gripper_collision(obj_pts_grasp: jnp.ndarray, spec: GripperSpec) -> jnp
     return jnp.any(d < 0.0)
 
 
-@partial(jax.jit, static_argnames=("spec",))
+@partial(jax.jit, static_argnames=("spec", "narrowphase"))
 def grasp_rollout(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
                   grasp_in_ob: jnp.ndarray, spec: GripperSpec = GripperSpec(),
-                  friction: float = 0.9):
+                  friction: float = 0.9, narrowphase: str = "csg"):
     """Close-then-shake rollout; returns a dict with everything downstream
     consumers need (success gate, final in-hand pose, closing width,
     open-gripper collision flag).  vmap over leading axes for batches."""
@@ -163,7 +163,8 @@ def grasp_rollout(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
 
         env = gripper_env(T_grasp, w_new, dv / dt, spec, friction)
         g = jnp.where(gravity_on, SHAKE_GRAVITY, 0.0)
-        st = engine.step(st, params, lib, env, dt=dt, gravity=g)
+        st = engine.step(st, params, lib, env, dt=dt, gravity=g,
+                         narrowphase=narrowphase)
         return (st, w_new), None
 
     (final, w_final), _ = jax.lax.scan(step_fn, (state, w0), jnp.arange(N_CLOSE_STEPS + N_SHAKE_STEPS))
@@ -181,10 +182,11 @@ def grasp_rollout(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
 
 def verify_grasp(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
                  grasp_in_ob: jnp.ndarray, spec: GripperSpec = GripperSpec(),
-                 friction: float = 0.9) -> jnp.ndarray:
+                 friction: float = 0.9, narrowphase: str = "csg") -> jnp.ndarray:
     """``EnvGrasp.verify_grasp`` (``env_grasp.py:87-108``): success bool.
     Object starts at identity so ``grasp_in_world == grasp_in_ob``."""
-    return grasp_rollout(lib, shape_id, scale, grasp_in_ob, spec, friction)["success"]
+    return grasp_rollout(lib, shape_id, scale, grasp_in_ob, spec, friction,
+                         narrowphase)["success"]
 
 
 verify_grasp_batch = jax.jit(
@@ -193,11 +195,11 @@ verify_grasp_batch = jax.jit(
 )
 
 
-@partial(jax.jit, static_argnames=("trials", "spec"))
+@partial(jax.jit, static_argnames=("trials", "spec", "narrowphase"))
 def perturbation_scores(key: jax.Array, lib: ShapeLib, shape_id: jnp.ndarray,
                         scale: jnp.ndarray, grasp_poses: jnp.ndarray,
                         trials: int = 50, spec: GripperSpec = GripperSpec(),
-                        friction: float = 0.9) -> jnp.ndarray:
+                        friction: float = 0.9, narrowphase: str = "csg") -> jnp.ndarray:
     """Perturbation-robustness score per grasp: (G, 4, 4) -> (G,) in [0,1].
 
     Protocol of ``compute_perturbation_score`` (``env_grasp.py:111-119``):
@@ -209,7 +211,7 @@ def perturbation_scores(key: jax.Array, lib: ShapeLib, shape_id: jnp.ndarray,
     perturbed = jnp.einsum("gij,gtjk->gtik", grasp_poses, offsets)
 
     def one(T):
-        return verify_grasp(lib, shape_id, scale, T, spec, friction)
+        return verify_grasp(lib, shape_id, scale, T, spec, friction, narrowphase)
 
     succ = jax.vmap(jax.vmap(one))(perturbed)
     return jnp.mean(succ.astype(jnp.float32), axis=-1)

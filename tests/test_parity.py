@@ -1,0 +1,146 @@
+"""Statistical parity harness (SURVEY §4, VERDICT r1 item 7).
+
+The reference publishes no numbers, so parity is measured against the
+PROTOCOL, not trajectories: perturbation-robustness scoring
+(``pybullet_env/env_grasp.py:103-119``: 50 trials of ≤5 mm / ≤10°
+perturbations; success = displacement ≤ 2 cm after 50 gravity steps) and
+pile-drop resting statistics (``env.py:299-344``).
+
+Tolerance justification (documented per test):
+* Resting height of a hex nut = half its thickness; the solver's Baumgarte
+  slop is 0.2 mm, and the 240 Hz integrator leaves ≤1 mm of residual
+  penetration-oscillation — so ±3 mm bands on resting z.
+* A hex nut's aspect ratio (thickness ≈ 0.18 × across-flats) makes flat
+  resting overwhelmingly likely from a low drop; PyBullet piles show the
+  same (every reference scene image has nuts flat or leaning on peers).
+  The single-nut flat fraction bound (≥80%) is geometry, not tuning.
+* Perturbation scores must ORDER grasp quality (deep centered > tip
+  engagement > no contact) — the property the grasp-quality net trains on
+  (``dataset_grasp.py:41-101`` digitizes scores into 10 bins), and the
+  spread across a mixed batch must be wide enough to populate multiple bins
+  (the balanced-score sampler, ``generate_grasp.py:50-78``, depends on it).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from catgrasp_tpu.core import transforms as tf
+from catgrasp_tpu.geom import csg as csglib
+from catgrasp_tpu.geom import primitives as prim
+from catgrasp_tpu.sim import engine, env_pile
+from catgrasp_tpu.sim.env_grasp import GripperSpec, perturbation_scores
+from catgrasp_tpu.sim.types import SceneParams, SceneState, build_shape_lib
+
+
+@pytest.fixture(scope="module")
+def nut_lib():
+    return build_shape_lib([prim.make_instance("nut", "train", 0)],
+                           [csglib.make_csg_instance("nut", "train", 0)],
+                           n_surf=64)
+
+
+def _nut_halfthickness():
+    m = prim.make_instance("nut", "train", 0)
+    b = m.bounds
+    return float(b[1][2] - b[0][2]) / 2
+
+
+def _side_grasp(depth_frac: float, spec: GripperSpec) -> np.ndarray:
+    """Across-flats side grasp: approach +x toward the nut along -world-x,
+    closing axis y.  depth_frac 1.0 = nut centered between finger roots,
+    0.05 = barely at the fingertips."""
+    g = np.eye(4, dtype=np.float32)
+    # grasp frame: +x approach; object sits ahead of the fingers by
+    # finger_len*(1-depth_frac)
+    g[:3, 3] = [-spec.finger_len * depth_frac, 0.0, 0.0]
+    return g
+
+
+def test_perturbation_scores_order_grasp_quality(nut_lib):
+    """Protocol scores must rank deep-centered > tip > no-contact, with the
+    extremes saturating (>=0.8 / <=0.2): the monotonicity the affordance
+    and quality labels rely on."""
+    spec = GripperSpec()
+    deep = _side_grasp(0.9, spec)
+    tip = _side_grasp(0.1, spec)
+    free = _side_grasp(0.9, spec)
+    free[2, 3] = 0.08  # fingers above the nut: closes on air
+    grasps = jnp.asarray(np.stack([deep, tip, free]))
+    s = np.asarray(perturbation_scores(jax.random.PRNGKey(0), nut_lib,
+                                       jnp.int32(0), jnp.float32(1.0),
+                                       grasps, trials=20))
+    assert s[0] >= 0.8, f"deep grasp score {s[0]}"
+    assert s[2] <= 0.2, f"no-contact grasp score {s[2]}"
+    assert s[0] > s[1] >= s[2], f"ordering violated: {s}"
+
+
+def test_perturbation_scores_spread(nut_lib):
+    """A mixed-depth batch must spread across score bins (balanced-score
+    binning premise, generate_grasp.py:50-78)."""
+    spec = GripperSpec()
+    grasps = jnp.asarray(np.stack([_side_grasp(f, spec)
+                                   for f in np.linspace(0.05, 0.95, 10)]))
+    s = np.asarray(perturbation_scores(jax.random.PRNGKey(1), nut_lib,
+                                       jnp.int32(0), jnp.float32(1.0),
+                                       grasps, trials=12))
+    assert s.min() >= 0.0 and s.max() <= 1.0
+    assert s.max() - s.min() >= 0.3, f"degenerate spread: {s}"
+    # digitize as the grasp dataset does: >=2 distinct bins of 10
+    bins = np.digitize(s, np.linspace(0.1, 0.9, 9))
+    assert len(np.unique(bins)) >= 2, f"all scores in one bin: {s}"
+
+
+def test_single_nut_resting_pose_statistics(nut_lib):
+    """32 single-nut drops from random poses: rest flat at half-thickness.
+
+    Bands: z in half_t ± 3 mm (slop + integrator residual); flat fraction
+    >= 80% (hex-nut aspect ratio); all settled (|v| < 5 cm/s)."""
+    B = 32
+    params = SceneParams.create(nut_lib, jnp.zeros(1, jnp.int32), jnp.ones(1))
+    env = engine.StaticEnv.open_bin((0.3, 0.3, 0.12))
+
+    def drop(key):
+        k1, k2 = jax.random.split(key)
+        q = tf.quat_normalize(jax.random.normal(k1, (4,)))
+        st = SceneState.create(1).replace(
+            active=jnp.array([True]),
+            pos=jnp.array([[0.0, 0.0, 0.05]]),
+            quat=q[None])
+        return engine.rollout(st, params, nut_lib, env, 500)
+
+    finals = jax.vmap(drop)(jax.random.split(jax.random.PRNGKey(2), B))
+    z = np.asarray(finals.pos[:, 0, 2])
+    half_t = _nut_halfthickness()
+    in_band = np.abs(z - half_t) < 0.003
+    assert in_band.mean() >= 0.8, f"z out of band: {z.round(4)} vs {half_t:.4f}"
+    R = np.asarray(jax.vmap(lambda q: tf.quat_to_matrix(q[0]))(finals.quat))
+    flat = np.abs(R[:, 2, 2]) > np.cos(np.deg2rad(20))
+    assert flat.mean() >= 0.8, f"flat fraction {flat.mean()}"
+    v = np.linalg.norm(np.asarray(finals.linvel[:, 0]), axis=-1)
+    assert (v < 0.05).all(), f"not settled: {v.max()}"
+
+
+def test_pile_settles_without_interpenetration(nut_lib):
+    """8-nut pile: settles (max motion per 50-step chunk below the
+    simulation_until_stable threshold) with pairwise penetration bounded by
+    solver slop (2e-4) + integrator residual -> 2 mm."""
+    cfg = env_pile.PileConfig(max_bodies=8)
+    env = engine.StaticEnv.open_bin(cfg.bin_inner)
+    state, params = env_pile.reset(jax.random.PRNGKey(3), nut_lib, cfg)
+    st = env_pile.settle_fixed(state, params, nut_lib, env, cfg, 600)
+    prev = st
+    st2 = engine.rollout(st, params, nut_lib, env, 50)
+    motion = float(engine.max_body_motion(prev, st2))
+    assert motion < 2e-3, f"still moving after settle: {motion}"
+
+    # pairwise penetration: surface points of i vs SDF of j
+    from catgrasp_tpu.sim.engine import _body_surface_points, _sdf_vs_bodies
+    w_pts = _body_surface_points(st2, params, nut_lib)
+    phi, _ = _sdf_vs_bodies(w_pts, st2, params, nut_lib)
+    N = phi.shape[0]
+    act = np.asarray(st2.active)
+    mask = act[:, None] & act[None, :] & ~np.eye(N, dtype=bool)
+    phi_np = np.asarray(jnp.min(phi, axis=1))  # (N, N) min over points
+    worst = phi_np[mask].min() if mask.any() else 0.0
+    assert worst > -2e-3, f"interpenetration {worst}"
