@@ -8,6 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config.loader import load_config
+from ..data import packed
 from ..data.datasets import GraspDataset
 from ..nn.losses import grasp_quality_ce
 from ..nn.pointnet import PointNetCls, feature_transform_regularizer
@@ -32,7 +33,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--class_name", default="nut")
     ap.add_argument("--data_root", default=None)
-    ap.add_argument("--grasp_db", required=True)
+    ap.add_argument("--grasp_db", default=None,
+                    help="grasp DB npz (unpacked path only)")
+    ap.add_argument("--val_root", default=None)
     ap.add_argument("--n_epochs", type=int, default=None)
     ap.add_argument("--batch_size", type=int, default=None)
     ap.add_argument("--ckpt_dir", default="artifacts/grasp")
@@ -42,8 +45,14 @@ def main():
     if args.batch_size:
         cfg["batch_size"] = args.batch_size
     root = args.data_root or f"dataset/{args.class_name}/train"
-    db = dict(np.load(args.grasp_db))
-    ds = GraspDataset(root, db, cfg)
+    if packed.is_packed(root):
+        ds = packed.PackedGrasp(root, cfg)
+    else:
+        db = dict(np.load(args.grasp_db))
+        ds = GraspDataset(root, db, cfg)
+    val = (packed.PackedGrasp(args.val_root, cfg, phase="val")
+           if args.val_root and packed.is_packed(args.val_root) else None)
+    print(f"train items: {len(ds)}" + (f", val items: {len(val)}" if val else ""))
 
     model, loss_fn = build(cfg)
     bs = cfg["batch_size"]
@@ -51,7 +60,9 @@ def main():
     state = create_state(model, cfg, example, max(len(ds) // bs, 1))
 
     trainer = Trainer(model=model, cfg=cfg, loss_fn=loss_fn,
-                      train_data=lambda: ds.batches(bs), ckpt_dir=args.ckpt_dir)
+                      train_data=lambda: ds.batches(bs),
+                      val_data=(lambda: val.batches(bs, shuffle=False)) if val else None,
+                      ckpt_dir=args.ckpt_dir)
     trainer.fit(state, n_epochs=args.n_epochs)
 
 

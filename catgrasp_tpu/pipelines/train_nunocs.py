@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from ..config.loader import load_config
 from ..core.symmetry import get_symmetry_tfs
+from ..data import packed
 from ..data.datasets import NunocsDataset
 from ..nn.losses import nocs_min_symmetry_ce
 from ..nn.pointnet import PointNetSeg
@@ -47,8 +48,16 @@ def main():
     if args.batch_size:
         cfg["batch_size"] = args.batch_size
     root = args.data_root or f"dataset/{args.class_name}/train"
-    ds = NunocsDataset(root, cfg)
-    val = NunocsDataset(args.val_root, cfg, phase="val") if args.val_root else None
+    # packed memmap rows (pack_training_data pipeline) when available —
+    # required at reference scale (20k scenes)
+    ds = (packed.PackedNunocs(root, cfg) if packed.is_packed(root)
+          else NunocsDataset(root, cfg))
+    val = None
+    if args.val_root:
+        val = (packed.PackedNunocs(args.val_root, cfg, phase="val")
+               if packed.is_packed(args.val_root)
+               else NunocsDataset(args.val_root, cfg, phase="val"))
+    print(f"train items: {len(ds)}" + (f", val items: {len(val)}" if val else ""))
 
     model, loss_fn = build(cfg, args.class_name)
     bs = cfg["batch_size"]

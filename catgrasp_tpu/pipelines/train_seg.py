@@ -8,6 +8,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config.loader import load_config
+from ..data import packed
 from ..data.datasets import SegDataset
 from ..nn.losses import offset_loss
 from ..nn.voxelnet import SegNet
@@ -53,7 +54,9 @@ def main():
     cfg = load_config("config_seg.yml")
     cfg["batch_size"] = args.batch_size
     root = args.data_root or f"dataset/{args.class_name}/train"
-    ds = SegDataset(root, cfg)
+    ds = (packed.PackedSeg(root, cfg) if packed.is_packed(root)
+          else SegDataset(root, cfg))
+    print(f"train scenes: {len(ds)}")
 
     model, loss_fn = build(cfg)
     n_pts = cfg.get("n_pts", 20000)

@@ -151,11 +151,17 @@ class Trainer:
         return state
 
     def evaluate(self, state: TrainState) -> float:
+        if not hasattr(self, "_eval_fn"):
+            # jitted once: the reference-scale val split (1k scenes) made the
+            # unjitted per-batch loss the epoch bottleneck
+            self._eval_fn = jax.jit(
+                lambda params, batch, rng: self.loss_fn(
+                    params, self.model.apply, batch, rng)[0])
         losses = []
         for batch in self.val_data():
             batch = jax.tree.map(jnp.asarray, batch)
-            loss, _ = self.loss_fn(state.params, state.apply_fn, batch, jax.random.PRNGKey(0))
-            losses.append(float(loss))
+            losses.append(float(self._eval_fn(state.params, batch,
+                                              jax.random.PRNGKey(0))))
         return float(np.mean(losses)) if losses else float("inf")
 
 
