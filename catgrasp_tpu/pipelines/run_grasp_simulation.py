@@ -335,8 +335,11 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
             np.concatenate([rng.uniform(*pile_cfg.scale_range, n_objects), [1.0]]),
             jnp.float32)
         params = SceneParams.create(lib, shape_id, scale)
-        params = params.replace(mass=params.mass.at[n_objects].set(1e9),
-                                inertia=params.inertia.at[n_objects].set(1e9))
+        params = params.replace(
+            mass=params.mass.at[n_objects].set(1e9),
+            inertia=params.inertia.at[n_objects].set(1e9),
+            # reference fixture lateralFriction=0.1 (env_semantic_grasp.py:53)
+            friction=params.friction.at[n_objects].set(0.1))
         state_p, _ = env_pile.reset(k1, lib, pile_cfg, n_objects=jnp.int32(n_objects))
         state = add_fixture_body(
             state_p.replace(active=jnp.ones(n_objects, bool)))

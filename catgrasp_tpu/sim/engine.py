@@ -229,7 +229,10 @@ def _solve_contacts(state: SceneState, params: SceneParams, lib: ShapeLib,
     K_n = jnp.maximum(K_n, 1e-9)
 
     mu_j = jnp.concatenate([params.friction, env.friction])
-    mu = jnp.sqrt(params.friction[:, None, None] * mu_j[None, None, :])
+    # PyBullet combines lateral friction by MULTIPLICATION (btManifoldResult
+    # calculateCombinedFriction) — calibration to the reference's
+    # changeDynamics values assumes the same rule
+    mu = params.friction[:, None, None] * mu_j[None, None, :]
 
     # desired normal-velocity bias (Baumgarte)
     bias = BAUMGARTE / dt * jnp.maximum(pen - SLOP, 0.0)
@@ -284,9 +287,16 @@ def _solve_contacts(state: SceneState, params: SceneParams, lib: ShapeLib,
 @partial(jax.jit, static_argnames=("n_iter", "narrowphase"))
 def step(state: SceneState, params: SceneParams, lib: ShapeLib, env: StaticEnv,
          dt: float = DT, gravity: float = -9.8, n_iter: int = N_ITER,
-         linear_damping: float = 0.02, angular_damping: float = 0.05,
+         linear_damping: float = 0.0095, angular_damping: float = 0.0095,
          narrowphase: str = "csg") -> SceneState:
-    """One physics step — replaces ``p.stepSimulation()``."""
+    """One physics step — replaces ``p.stepSimulation()``.
+
+    Damping default calibration: the reference sets PyBullet
+    linearDamping=angularDamping=0.9 on every pile object
+    (``env.py:267,295``), which PyBullet applies per second as
+    v *= (1-0.9)^dt -> 0.95% velocity loss per 240 Hz step; 0.0095/step
+    here reproduces it (round 1's 0.02/0.05 over-damped by 2-5x).
+    """
     g = jnp.array([0.0, 0.0, gravity])
     dynamic = state.active & (params.mass < STATIC_MASS)
     linvel = state.linvel + jnp.where(dynamic[:, None], g * dt, 0.0)

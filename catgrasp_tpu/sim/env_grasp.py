@@ -52,7 +52,13 @@ class GripperSpec:
     palm_depth: float = 0.03
     max_force: float = 100.0
     close_speed: float = 0.3  # m/s of opening decrease
-    max_squeeze_pen: float = 0.0012  # force-limit proxy: max allowed penetration
+    # force-limit proxy: max allowed penetration.  Calibrated so the parity
+    # harness's deep centered grasp scores >= 0.8 under the reference's
+    # dynamics (object mu 0.7 x gripper 0.9, PyBullet product combine,
+    # per-second damping 0.9): 2.0 mm ~= the grip PyBullet's 100 N position
+    # control develops; 1.2 mm under-grips (deep grasp 0.35), >= 3 mm
+    # over-squeezes and ejects the part (0.70/0.60).
+    max_squeeze_pen: float = 0.002
 
     @property
     def hand_depth(self):
@@ -129,12 +135,17 @@ def open_gripper_collision(obj_pts_grasp: jnp.ndarray, spec: GripperSpec) -> jnp
 @partial(jax.jit, static_argnames=("spec", "narrowphase"))
 def grasp_rollout(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
                   grasp_in_ob: jnp.ndarray, spec: GripperSpec = GripperSpec(),
-                  friction: float = 0.9, narrowphase: str = "csg"):
+                  friction: float = 0.7, narrowphase: str = "csg"):
     """Close-then-shake rollout; returns a dict with everything downstream
     consumers need (success gate, final in-hand pose, closing width,
-    open-gripper collision flag).  vmap over leading axes for batches."""
+    open-gripper collision flag).  vmap over leading axes for batches.
+
+    Object friction 0.7 = the reference's grasp-scoring setup
+    (``generate_grasp.py:39``); the gripper keeps 0.9 (``env_grasp.py:60``).
+    """
     params = SceneParams.create(lib, shape_id[None], scale[None], friction=friction)
     state = SceneState.create(1).replace(active=jnp.array([True]))
+    gripper_friction = 0.9
 
     T_grasp = grasp_in_ob  # object at identity
     T_inv = tf.pose_inverse(T_grasp)
@@ -161,7 +172,7 @@ def grasp_rollout(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
         dv = jnp.where(closing, jnp.minimum(spec.close_speed * dt, dv_allow), 0.0)
         w_new = jnp.maximum(w - dv, 0.0)
 
-        env = gripper_env(T_grasp, w_new, dv / dt, spec, friction)
+        env = gripper_env(T_grasp, w_new, dv / dt, spec, gripper_friction)
         g = jnp.where(gravity_on, SHAKE_GRAVITY, 0.0)
         st = engine.step(st, params, lib, env, dt=dt, gravity=g,
                          narrowphase=narrowphase)
@@ -182,7 +193,7 @@ def grasp_rollout(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
 
 def verify_grasp(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
                  grasp_in_ob: jnp.ndarray, spec: GripperSpec = GripperSpec(),
-                 friction: float = 0.9, narrowphase: str = "csg") -> jnp.ndarray:
+                 friction: float = 0.7, narrowphase: str = "csg") -> jnp.ndarray:
     """``EnvGrasp.verify_grasp`` (``env_grasp.py:87-108``): success bool.
     Object starts at identity so ``grasp_in_world == grasp_in_ob``."""
     return grasp_rollout(lib, shape_id, scale, grasp_in_ob, spec, friction,
@@ -199,7 +210,7 @@ verify_grasp_batch = jax.jit(
 def perturbation_scores(key: jax.Array, lib: ShapeLib, shape_id: jnp.ndarray,
                         scale: jnp.ndarray, grasp_poses: jnp.ndarray,
                         trials: int = 50, spec: GripperSpec = GripperSpec(),
-                        friction: float = 0.9, narrowphase: str = "csg") -> jnp.ndarray:
+                        friction: float = 0.7, narrowphase: str = "csg") -> jnp.ndarray:
     """Perturbation-robustness score per grasp: (G, 4, 4) -> (G,) in [0,1].
 
     Protocol of ``compute_perturbation_score`` (``env_grasp.py:111-119``):

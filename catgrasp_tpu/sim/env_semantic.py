@@ -138,6 +138,9 @@ def try_grasp(lib: ShapeLib, obj_shape: jnp.ndarray, fixture_shape_idx: jnp.ndar
     params = params.replace(
         mass=params.mass.at[1].set(FIXTURE_MASS),
         inertia=params.inertia.at[1].set(FIXTURE_MASS),
+        # slippery fixture so parts slide into place (reference
+        # lateralFriction=0.1, env_semantic_grasp.py:53)
+        friction=params.friction.at[1].set(0.1),
     )
     st = SceneState.create(2).replace(
         pos=jnp.stack([place_t, jnp.zeros(3)]),
@@ -190,6 +193,9 @@ def place_and_drop(lib: ShapeLib, obj_shape: jnp.ndarray,
     params = params.replace(
         mass=params.mass.at[1].set(FIXTURE_MASS),
         inertia=params.inertia.at[1].set(FIXTURE_MASS),
+        # slippery fixture so parts slide into place (reference
+        # lateralFriction=0.1, env_semantic_grasp.py:53)
+        friction=params.friction.at[1].set(0.1),
     )
     st = SceneState.create(2).replace(
         pos=jnp.stack([place_t, jnp.zeros(3)]),

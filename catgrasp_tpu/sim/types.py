@@ -102,8 +102,11 @@ class SceneParams:
     friction: jnp.ndarray  # (N,)
 
     @staticmethod
-    def create(lib: ShapeLib, shape_id, scale=None, friction: float = 0.7,
+    def create(lib: ShapeLib, shape_id, scale=None, friction: float = 0.9,
                density: float = DENSITY):
+        # friction default = the reference's pile-object lateralFriction 0.9
+        # (``env.py:267``); grasp scoring overrides to 0.7
+        # (``generate_grasp.py:39``)
         shape_id = jnp.asarray(shape_id, jnp.int32)
         n = shape_id.shape[0]
         scale = jnp.ones(n) if scale is None else jnp.asarray(scale)
