@@ -122,6 +122,50 @@ def settle_fixed(state: SceneState, params: SceneParams, lib: ShapeLib,
 simulation_until_stable = settle
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def add_duplicate_object_on_pile(key: jax.Array, state: SceneState,
+                                 params: SceneParams, shape_id: jnp.ndarray,
+                                 scale: jnp.ndarray, n_ob: jnp.ndarray,
+                                 cfg: PileConfig, lib: ShapeLib = None):
+    """Spawn ``n_ob`` duplicates of one shape at random poses above the bin
+    (``env.py:272-295``): activates the first ``n_ob`` inactive body slots
+    with uniform xy over the bin, z in [0.05, 0.3], random orientation.
+    Returns (state, params); settle afterwards as the reference does.
+
+    Static shapes: the scene's slot count is fixed, so "adding" a body means
+    activating a free slot with new shape/scale/pose.
+    """
+    N = state.pos.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    inactive = ~state.active
+    order = jnp.cumsum(inactive.astype(jnp.int32))
+    chosen = inactive & (order <= n_ob)
+
+    ix, iy, _ = cfg.bin_inner
+    xy = jax.random.uniform(k1, (N, 2), minval=-1.0, maxval=1.0) \
+        * jnp.array([ix / 2, iy / 2])
+    z = jax.random.uniform(k2, (N,), minval=0.05, maxval=0.3)
+    pos = jnp.concatenate([xy, z[:, None]], axis=1)
+    quat = tf.quat_normalize(jax.random.normal(k3, (N, 4)))
+
+    state = state.replace(
+        pos=jnp.where(chosen[:, None], pos, state.pos),
+        quat=jnp.where(chosen[:, None], quat, state.quat),
+        linvel=jnp.where(chosen[:, None], 0.0, state.linvel),
+        angvel=jnp.where(chosen[:, None], 0.0, state.angvel),
+        active=state.active | chosen,
+    )
+    if lib is not None:
+        fresh = SceneParams.create(
+            lib, jnp.full((N,), shape_id, jnp.int32),
+            jnp.full((N,), scale, jnp.float32))
+        params = jax.tree.map(
+            lambda new, old: jnp.where(
+                chosen.reshape((N,) + (1,) * (old.ndim - 1)), new, old),
+            fresh, params)
+    return state, params
+
+
 def make_pile_batch(key: jax.Array, lib: ShapeLib, cfg: PileConfig, batch: int,
                     settle_steps: int = 400):
     """B settled pile scenes in one call: reset + fixed settle, vmapped."""
