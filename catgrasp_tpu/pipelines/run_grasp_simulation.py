@@ -190,9 +190,16 @@ def _place_with_arm(lib, state, params, env_bin, target, ob_in_grasp, width,
     placed = bool(es.place_success(class_name, jnp.asarray(ob_in_fix),
                                    jnp.asarray(place_t, jnp.float32)))
     if verbose and not placed:
+        fix_state = np.asarray(final.pos[-1])
+        G_rel = np.asarray(simarm.grasp_pose_of(
+            jnp.asarray(move[-1]), jnp.asarray(base_in_world),
+            jnp.asarray(ee_in_grasp)))
+        rel_pose = (np.linalg.inv(T_fix) @ G_rel @ np.asarray(ob_in_grasp))
         print(f"    place: dropped at fixture-frame t={ob_in_fix[:3, 3].round(4)}"
               f" z-axis={ob_in_fix[:3, 2].round(3)} (want xy<=6mm of "
-              f"{place_t[:2]}, z<={es._SUCCESS_Z_MAX[class_name]}, upright)")
+              f"{place_t[:2]}, z<={es._SUCCESS_Z_MAX[class_name]}, upright)\n"
+              f"           fixture body at {fix_state.round(4)}, release pose "
+              f"t={rel_pose[:3, 3].round(4)} z-axis={rel_pose[:3, 2].round(3)}")
     return placed, final
 
 

@@ -207,8 +207,9 @@ def _solve_contacts(state: SceneState, params: SceneParams, lib: ShapeLib,
     pen = jnp.maximum(-phi, 0.0)
     in_contact = pen > 0.0  # (N,P,M)
 
-    inv_mass = jnp.where(active, 1.0 / params.mass, 0.0)
-    inv_inertia = jnp.where(active[:, None], 1.0 / params.inertia, 0.0)  # (N,3) body-diag
+    dyn = active & (params.mass < STATIC_MASS)  # static: collide, never move
+    inv_mass = jnp.where(dyn, 1.0 / params.mass, 0.0)
+    inv_inertia = jnp.where(dyn[:, None], 1.0 / params.inertia, 0.0)  # (N,3) body-diag
     R = tf.quat_to_matrix(state.quat)
     # world-frame inverse inertia (diagonal in body frame)
     inv_I_world = jnp.einsum("nij,nj,nkj->nik", R, inv_inertia, R)  # (N,3,3)
@@ -305,11 +306,16 @@ def step(state: SceneState, params: SceneParams, lib: ShapeLib, env: StaticEnv,
     linvel, angvel = _solve_contacts(st, params, lib, env, dt, n_iter, narrowphase)
     linvel = linvel * (1.0 - linear_damping)
     angvel = angvel * (1.0 - angular_damping)
+    # static bodies collide but NEVER move (PyBullet baseMass=0 semantics —
+    # the huge mass does not protect against kinematic env colliders, whose
+    # contacts have K_n ~ 1/m_static and push at full Baumgarte bias speed)
+    linvel = jnp.where(dynamic[:, None], linvel, 0.0)
+    angvel = jnp.where(dynamic[:, None], angvel, 0.0)
 
-    pos = state.pos + jnp.where(state.active[:, None], linvel * dt, 0.0)
+    pos = state.pos + jnp.where(dynamic[:, None], linvel * dt, 0.0)
     dq = tf.quat_mul(jnp.concatenate([jnp.zeros_like(angvel[..., :1]), angvel], axis=-1), state.quat)
     quat = tf.quat_normalize(state.quat + 0.5 * dt * dq)
-    quat = jnp.where(state.active[:, None], quat, state.quat)
+    quat = jnp.where(dynamic[:, None], quat, state.quat)
     return state.replace(pos=pos, quat=quat, linvel=linvel, angvel=angvel)
 
 
