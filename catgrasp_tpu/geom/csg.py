@@ -276,30 +276,34 @@ def csg_cylinder(radius, height, center=(0, 0, 0)) -> CsgShape:
     return _pad([CYLINDER], [1], [[radius, height / 2, 0]], [list(center)])
 
 
-def csg_place_fixture(class_name: str) -> CsgShape:
+def csg_place_fixture(class_name: str, instance_params: dict | None = None) -> CsgShape:
     """Analytic placement fixtures matching ``geom.primitives.place_fixture``
     (the ``*_place.obj`` analogs): nut -> base plate + peg; screw -> block
-    with a vertical hole; hnm -> square socket."""
+    with a vertical hole; hnm -> square socket.  Radially matched to the
+    instance via ``primitives.fixture_fit`` (the reference ships one
+    ``_place.obj`` per object model)."""
+    from . import primitives as _prim
+    fit = _prim.fixture_fit(class_name, instance_params)
     if class_name == "nut":
         return _pad(
             [BOX, CYLINDER],
             [1, 1],
-            [[0.03, 0.03, 0.005], [0.0025, 0.03, 0]],
+            [[0.03, 0.03, 0.005], [fit, 0.03, 0]],
             [[0, 0, 0.005], [0, 0, 0.04]],
         )
     if class_name == "screw":
         return _pad(
             [CYLINDER, CYLINDER],
             [1, -1],
-            [[0.02, 0.01, 0], [0.0065, 0.02, 0]],
+            [[0.02, 0.01, 0], [fit, 0.02, 0]],
             [[0, 0, 0.01], [0, 0, 0.01]],
         )
     if class_name == "hnm":
-        hw = 0.025 * float(np.cos(np.pi / 4))
+        hw = (fit + 0.011) * float(np.cos(np.pi / 4))
         return _pad(
             [BOX, CYLINDER],
             [1, -1],
-            [[hw, hw, 0.0125], [0.014, 0.03, 0]],
+            [[hw, hw, 0.0125], [fit, 0.03, 0]],
             [[0, 0, 0.0125], [0, 0, 0.0125]],
         )
     raise ValueError(class_name)

@@ -163,6 +163,12 @@ def make_instance(class_name: str, split: str = "train", index: int = 0) -> TriM
     return _BUILDERS[class_name](**params[index % len(params)])
 
 
+def instance_params(class_name: str, split: str = "train", index: int = 0) -> dict:
+    """The parametric description of one instance (for fixture matching)."""
+    params = _SPLITS[(class_name, split)]
+    return dict(params[index % len(params)])
+
+
 def num_instances(class_name: str, split: str = "train") -> int:
     return len(_SPLITS[(class_name, split)])
 
@@ -214,16 +220,41 @@ def open_bin(inner=(0.30, 0.30, 0.12), wall: float = 0.01) -> TriMesh:
     return TriMesh.concatenate([floor, w1, w2, w3, w4])
 
 
+def fixture_fit(class_name: str, instance_params: dict | None = None) -> float:
+    """Radial fit of the place fixture to an object instance — the analog of
+    the reference's per-model ``{ob_name}_place.obj`` being built to mate
+    with that exact model (``README.md:68-75``; the eval loads the fixture
+    matched to ``cfg_run['ob_name']``, ``run_grasp_simulation.py:487``).
+    Returns the peg radius (nut), hole radius (screw), or socket inner
+    radius (hnm).  Feature heights never change, so TASK_POSES stay valid."""
+    p = instance_params or {}
+    if class_name == "nut":
+        # peg clears the thread hole with ~45% radial clearance
+        return 0.55 * p.get("inner_r", 0.006)
+    if class_name == "screw":
+        # hole passes the shaft but not the head
+        return p.get("shaft_r", 0.004) + 0.0025
+    if class_name == "hnm":
+        # square socket circumradius such that the socket's inscribed
+        # half-width clears the body's largest half-extent by 2 mm
+        bx, by, _ = p.get("body", (0.016, 0.010, 0.030))
+        return (max(bx, by) / 2 + 0.002) / float(np.cos(np.pi / 4))
+    raise ValueError(class_name)
+
+
 def place_fixture(class_name: str, instance_params: dict | None = None) -> TriMesh:
     """Placement fixture ("*_place.obj" analog): a peg for nuts, a hole block
-    for screws, a socket block for hnm."""
+    for screws, a socket block for hnm — radially matched to the instance
+    via :func:`fixture_fit` (the reference ships one ``_place.obj`` per
+    object model)."""
+    fit = fixture_fit(class_name, instance_params)
     if class_name == "nut":
         return TriMesh.concatenate([
             box((0.06, 0.06, 0.01), center=(0, 0, 0.005)),
-            cylinder(0.0025, 0.06, 16, center=(0, 0, 0.04)),
+            cylinder(fit, 0.06, 16, center=(0, 0, 0.04)),
         ])
     if class_name == "screw":
-        return tube(0.02, 0.0065, 0.02, n=12, n_inner=16).transformed(_translate((0, 0, 0.01)))
+        return tube(0.02, fit, 0.02, n=12, n_inner=16).transformed(_translate((0, 0, 0.01)))
     if class_name == "hnm":
-        return tube(0.025, 0.014, 0.025, n=4, n_inner=12, phase=np.pi / 4).transformed(_translate((0, 0, 0.0125)))
+        return tube(fit + 0.011, fit, 0.025, n=4, n_inner=12, phase=np.pi / 4).transformed(_translate((0, 0, 0.0125)))
     raise ValueError(class_name)

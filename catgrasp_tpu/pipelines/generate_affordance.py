@@ -30,11 +30,14 @@ def generate_affordance(class_name: str, split: str, index: int, grasp_db: dict,
                         spec: GripperSpec = GripperSpec(), seed: int = 0):
     """Returns dict(points, affordance, n_stable, rets)."""
     mesh = prim.make_instance(class_name, split, index)
-    fixture = prim.place_fixture(class_name)
+    # fixture radially matched to THIS instance (the reference ships one
+    # ``{ob_name}_place.obj`` per object model)
+    ip = prim.instance_params(class_name, split, index)
+    fixture = prim.place_fixture(class_name, ip)
     lib = build_shape_lib(
         [mesh, fixture],
         [csglib.make_csg_instance(class_name, split, index),
-         csglib.csg_place_fixture(class_name)],
+         csglib.csg_place_fixture(class_name, ip)],
         n_surf=64, seed=seed,
     )
     rng = np.random.default_rng(seed)

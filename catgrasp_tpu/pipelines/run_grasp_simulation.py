@@ -246,7 +246,7 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                           max_attempts_per_round: int = 8,
                           render_hw=(384, 512), verbose: bool = True,
                           metrics_path: str | None = None, use_arm: bool = True,
-                          arm_exec: bool = True):
+                          arm_exec: bool = True, instance: int | None = None):
     from ..utils.metrics import MetricsLogger
 
     mlog = MetricsLogger(metrics_path, run="eval", class_name=class_name,
@@ -259,10 +259,19 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
 
     split = cfg_run.get("instance_split", "test")
     n_inst = prim.num_instances(class_name, split)
+    # reference protocol: the pile is ONE object model at scale 1
+    # (``make_pile(obj_file=cfg_run['ob_name'], scale_range=[1,1])``,
+    # run_grasp_simulation.py:505-506) and the fixture is that model's own
+    # ``_place.obj``; instance < 0 = mixed instances at jittered scales
+    # (harder; fixture falls back to category defaults).
+    if instance is None:
+        instance = int(cfg_run.get("instance_index", 0))
+    fix_params = (prim.instance_params(class_name, split, instance)
+                  if instance >= 0 else None)
     meshes = [prim.make_instance(class_name, split, i) for i in range(n_inst)]
     csgs = [csglib.make_csg_instance(class_name, split, i) for i in range(n_inst)]
-    meshes.append(prim.place_fixture(class_name))
-    csgs.append(csglib.csg_place_fixture(class_name))
+    meshes.append(prim.place_fixture(class_name, fix_params))
+    csgs.append(csglib.csg_place_fixture(class_name, fix_params))
     lib = build_shape_lib(meshes, csgs, n_surf=64)
     fixture_idx = len(meshes) - 1
 
@@ -335,12 +344,16 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
     for rnd in range(n_rounds):
         key, k1 = jax.random.split(key)
         # build a pile of test instances (reference: 4-7 objects, :485-519)
+        if instance >= 0:
+            ob_ids = np.full(n_objects, instance % n_inst)
+            ob_scales = np.ones(n_objects)
+        else:
+            ob_ids = rng.integers(0, n_inst, n_objects)
+            ob_scales = rng.uniform(*pile_cfg.scale_range, n_objects)
         shape_id = jnp.asarray(
-            np.concatenate([rng.integers(0, n_inst, n_objects), [fixture_idx]]),
-            jnp.int32)
+            np.concatenate([ob_ids, [fixture_idx]]), jnp.int32)
         scale = jnp.asarray(
-            np.concatenate([rng.uniform(*pile_cfg.scale_range, n_objects), [1.0]]),
-            jnp.float32)
+            np.concatenate([ob_scales, [1.0]]), jnp.float32)
         params = SceneParams.create(lib, shape_id, scale)
         params = params.replace(
             mass=params.mass.at[n_objects].set(1e9),
@@ -673,6 +686,11 @@ def main():
     ap.add_argument("--arm_exec", type=int, default=1,
                     help="step the planned arm motion in the scene (pick AND "
                          "place through the arm); 0 = floating-gripper baseline")
+    ap.add_argument("--instance", type=int, default=None,
+                    help="pin the pile to one test instance at scale 1 "
+                         "(reference ob_name protocol; default from "
+                         "config_run.yml instance_index; -1 = mixed "
+                         "instances at jittered scales)")
     args = ap.parse_args()
 
     cfg_run = load_config("config_run.yml")
@@ -688,7 +706,8 @@ def main():
                               canonical=canonical, predicters=predicters,
                               seed=args.seed, metrics_path=args.metrics,
                               use_arm=bool(args.use_arm),
-                              arm_exec=bool(args.arm_exec))
+                              arm_exec=bool(args.arm_exec),
+                              instance=args.instance)
     print(f"num_objects={c.num_objects} num_attempts={c.num_attempts} "
           f"num_stable_grasp={c.num_stable_grasp} "
           f"num_task_grasp_succ={c.num_task_grasp_succ}")

@@ -230,6 +230,15 @@ def execute_place_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
     G = jax.vmap(lambda q: grasp_pose_of(q, base_in_world, ee_in_grasp))(qs)
     G_next = jnp.concatenate([G[1:], G[-1:]], axis=0)
     T = qs.shape[0]
+    # release only once the fingers have opened clear of the (possibly
+    # squeezed, possibly off-center) object: dropping the attachment the
+    # instant opening STARTS lets the still-touching finger impart an
+    # asymmetric lateral impulse that knocks the part off the fixture
+    # feature (the reference's position-controlled opening has no such
+    # impulse because PyBullet keeps resolving the hold until contact is
+    # lost, env_semantic_grasp.py:155-165)
+    w_release = jnp.minimum(width + 2.0 * spec.max_squeeze_pen + 0.002,
+                            spec.max_width)
 
     def step_fn(carry, xs):
         st, w = carry
@@ -237,21 +246,22 @@ def execute_place_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
         moving = i < n_move
         dv = jnp.where(moving, 0.0, spec.close_speed * dt)  # open after move
         w_new = jnp.minimum(w + dv, spec.max_width)
+        attached = moving | (w_new < w_release)
 
         genv = gripper_env(G_t, w_new, -dv / dt, spec)
         aenv = arm_env(q, q_prev, base_in_world, dt)
         merged = merge_envs(env_bin, genv, aenv)
         st = engine.step(st, params, lib, merged, dt=dt, gravity=-9.8)
 
-        # attached during transport; free once the fingers start opening
+        # attached during transport and until the fingers clear contact
         ob_pose_att = G_t @ ob_in_grasp
         ride_vel = ((G_tn @ ob_in_grasp)[:3, 3] - ob_pose_att[:3, 3]) / dt
         st = st.replace(
-            pos=jnp.where(moving, st.pos.at[target].set(ob_pose_att[:3, 3]), st.pos),
-            quat=jnp.where(moving, st.quat.at[target].set(
+            pos=jnp.where(attached, st.pos.at[target].set(ob_pose_att[:3, 3]), st.pos),
+            quat=jnp.where(attached, st.quat.at[target].set(
                 tf.matrix_to_quat(ob_pose_att[:3, :3])), st.quat),
-            linvel=jnp.where(moving, st.linvel.at[target].set(ride_vel), st.linvel),
-            angvel=jnp.where(moving, st.angvel.at[target].set(0.0), st.angvel),
+            linvel=jnp.where(attached, st.linvel.at[target].set(ride_vel), st.linvel),
+            angvel=jnp.where(attached, st.angvel.at[target].set(0.0), st.angvel),
         )
         return (st, w_new), None
 

@@ -114,3 +114,34 @@ def test_execute_place_arm_transports_attachment():
     got = np.asarray(ob_pose)[:3, 3]
     np.testing.assert_allclose(got[:2], expect[:2], atol=0.03)
     assert got[2] <= expect[2] + 1e-3  # fell or stayed
+
+
+def test_execute_place_arm_clean_release():
+    """An off-center squeezed object must release without a lateral kick:
+    the attachment holds until the fingers have opened clear of contact
+    (PyBullet's position-controlled opening keeps resolving the hold until
+    contact is lost, so release there is impulse-free)."""
+    lib, params, state, env_bin = _tiny_world()
+    g = Gripper.default()
+    base = _base()
+    qa = np.zeros(7, np.float32); qa[1], qa[3] = 0.35, -1.6
+    n_move, n_drop = 2, 16
+    sched = np.repeat(qa[None], n_move + n_drop, axis=0)
+    # nut held 1.5 mm off-center along the closing axis (y), squeezed:
+    # width < across-flats extent, so one finger penetrates at release time
+    ob_in_grasp = np.eye(4, dtype=np.float32)
+    ob_in_grasp[:3, 3] = [0.02, 0.0015, 0.0]
+    width = jnp.float32(0.014)  # nut y-extent is ~0.0156 at scale 1
+    final, ob_pose = simarm.execute_place_arm(
+        lib, state, params, env_bin, jnp.int32(0), jnp.asarray(sched),
+        jnp.asarray(base), jnp.asarray(g.ee_in_grasp),
+        jnp.asarray(ob_in_grasp), width, g.spec,
+        n_move=n_move, n_drop=n_drop)
+    G_end = np.asarray(simarm.grasp_pose_of(
+        jnp.asarray(qa), jnp.asarray(base), jnp.asarray(g.ee_in_grasp)))
+    release_xy = (G_end @ ob_in_grasp)[:2, 3]
+    got = np.asarray(ob_pose)[:3, 3]
+    # free fall for <= 16 steps moves xy ~0; a squeeze impulse moves it cm's
+    np.testing.assert_allclose(got[:2], release_xy, atol=0.004)
+    v = np.asarray(final.linvel[0])
+    assert np.linalg.norm(v[:2]) < 0.12, f"lateral kick at release: {v}"
