@@ -33,9 +33,13 @@ from ..sim.types import build_shape_lib
 
 
 def category_lib(class_name: str, split: str, n_surf: int = 48):
-    n = prim.num_instances(class_name, split)
-    meshes = [prim.make_instance(class_name, split, i) for i in range(n)]
-    csgs = [csglib.make_csg_instance(class_name, split, i) for i in range(n)]
+    # train AND val scenes render the training objects (the reference's
+    # train/val are SCENE counts over the same models, config.yml:11-14);
+    # only the test split uses held-out instances
+    inst_split = "test" if split == "test" else "train"
+    n = prim.num_instances(class_name, inst_split)
+    meshes = [prim.make_instance(class_name, inst_split, i) for i in range(n)]
+    csgs = [csglib.make_csg_instance(class_name, inst_split, i) for i in range(n)]
     return build_shape_lib(meshes, csgs, n_surf=n_surf)
 
 
@@ -55,7 +59,8 @@ def random_camera(key, base_height: float = 0.6, jitter: float = 0.05):
 
 def generate_scenes(class_name: str, split: str, n_scenes: int, out_dir: str,
                     cfg: dict | None = None, seed: int = 0,
-                    settle_steps: int = 400, batch: int = 16):
+                    settle_steps: int = 400, batch: int = 16,
+                    start: int = 0):
     cfg = cfg or load_config("config.yml")
     H = int(cfg["H"] * cfg.get("render_downscale", 0.25))
     W = int(cfg["W"] * cfg.get("render_downscale", 0.25))
@@ -106,7 +111,13 @@ def generate_scenes(class_name: str, split: str, n_scenes: int, out_dir: str,
     def fetch(k):
         return jax.tree.map(np.asarray, make_batch(k))
 
-    scene_id = 0
+    # resume: burn the key splits of the already-written batches so the
+    # remainder continues the exact key stream of an uninterrupted run
+    if start % batch != 0:
+        raise ValueError(f"--start must be a multiple of batch={batch}")
+    for _ in range(start // batch):
+        key, _ = jax.random.split(key)
+    scene_id = start
     pending = None
     while scene_id < n_scenes:
         key, sub = jax.random.split(key)
@@ -140,9 +151,12 @@ def main():
     ap.add_argument("--n_scenes", type=int, default=64)
     ap.add_argument("--out_dir", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--start", type=int, default=0,
+                    help="resume: first scene id to generate (multiple of 16)")
     args = ap.parse_args()
     out = args.out_dir or f"dataset/{args.class_name}/{args.split}"
-    generate_scenes(args.class_name, args.split, args.n_scenes, out, seed=args.seed)
+    generate_scenes(args.class_name, args.split, args.n_scenes, out,
+                    seed=args.seed, start=args.start)
 
 
 if __name__ == "__main__":

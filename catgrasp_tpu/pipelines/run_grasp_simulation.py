@@ -181,7 +181,7 @@ def _place_with_arm(lib, state, params, env_bin, target, ob_in_grasp, width,
     move = np.concatenate([simarm.resample_traj(path, N_MOVE_P - 40),
                            simarm.resample_traj(qs_d, 40)]).astype(np.float32)
     sched = np.concatenate([move, np.repeat(move[-1][None], N_DROP_P, axis=0)])
-    final, ob_pose_final = simarm.execute_place_arm(
+    final, ob_pose_final, place_traj = simarm.execute_place_arm(
         lib, state, params, env_bin, jnp.int32(target), jnp.asarray(sched),
         jnp.asarray(base_in_world), jnp.asarray(ee_in_grasp),
         jnp.asarray(np.asarray(ob_in_grasp, np.float32)),
@@ -200,6 +200,11 @@ def _place_with_arm(lib, state, params, env_bin, target, ob_in_grasp, width,
               f"{place_t[:2]}, z<={es._SUCCESS_Z_MAX[class_name]}, upright)\n"
               f"           fixture body at {fix_state.round(4)}, release pose "
               f"t={rel_pose[:3, 3].round(4)} z-axis={rel_pose[:3, 2].round(3)}")
+        # drop trajectory in fixture frame every 10 steps (deflection onset)
+        tp = np.asarray(place_traj[0])[N_MOVE_P::10] - T_fix[:3, 3]
+        print("           drop xy-dev:",
+              np.linalg.norm(tp[:, :2] - place_t[None, :2], axis=1).round(4),
+              "z:", tp[:, 2].round(3))
     return placed, final
 
 
@@ -272,7 +277,11 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
     csgs = [csglib.make_csg_instance(class_name, split, i) for i in range(n_inst)]
     meshes.append(prim.place_fixture(class_name, fix_params))
     csgs.append(csglib.csg_place_fixture(class_name, fix_params))
-    lib = build_shape_lib(meshes, csgs, n_surf=64)
+    # 256 surface pts/body: the peg-through-nut-hole interaction needs
+    # <3 mm point spacing on thin features or the slide down the peg
+    # tunnels laterally through the nut wall (the pick phases work at 64,
+    # but threading fidelity sets the task-success ceiling)
+    lib = build_shape_lib(meshes, csgs, n_surf=256)
     fixture_idx = len(meshes) - 1
 
     pile_cfg = env_pile.PileConfig(max_bodies=n_objects, scale_range=(0.9, 1.1))

@@ -249,6 +249,12 @@ def execute_place_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
         attached = moving | (w_new < w_release)
 
         genv = gripper_env(G_t, w_new, -dv / dt, spec)
+        # once the object has released, the gripper stops being a collider:
+        # the reference teleports the gripper far away before the gravity
+        # drop (env_semantic_grasp.py:155-160); keeping the finger channel
+        # live lets it torque the falling part on tilted holds and impart a
+        # slow lateral drift during the fixture slide
+        genv = genv.replace(enabled=genv.enabled & attached)
         aenv = arm_env(q, q_prev, base_in_world, dt)
         merged = merge_envs(env_bin, genv, aenv)
         st = engine.step(st, params, lib, merged, dt=dt, gravity=-9.8)
@@ -263,9 +269,10 @@ def execute_place_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
             linvel=jnp.where(attached, st.linvel.at[target].set(ride_vel), st.linvel),
             angvel=jnp.where(attached, st.angvel.at[target].set(0.0), st.angvel),
         )
-        return (st, w_new), None
+        return (st, w_new), (st.pos[target], st.quat[target],
+                             st.linvel[target], st.angvel[target])
 
-    (final, _), _ = jax.lax.scan(step_fn, (state, width),
-                                 (jnp.arange(T), qs, qs_prev, G, G_next))
+    (final, _), traj = jax.lax.scan(step_fn, (state, width),
+                                    (jnp.arange(T), qs, qs_prev, G, G_next))
     ob_pose_final = tf.pose_from_qt(final.quat[target], final.pos[target])
-    return final, ob_pose_final
+    return final, ob_pose_final, traj

@@ -37,14 +37,18 @@ from .types import SceneParams, SceneState, ShapeLib
 # — the ``place_pose_dict`` analog (``Utils.py:15-24``), adapted to the
 # procedural fixtures of geom.primitives.place_fixture.
 TASK_POSES = {
-    # drop-threading like the reference: the place (release) pose hovers just
-    # above the fixture feature; gravity threads the part in.
-    # nut: release above the peg tip (0.07), hole aligned -> threads down
-    "nut": (np.array([0, 0, 0.15]), np.array([0, 0, 0.08])),
-    # screw: tip above the hole (block top 0.02); origin at head base
-    "screw": (np.array([0, 0, 0.15]), np.array([0, 0, 0.065])),
-    # connector: above the socket opening (depth 0.025)
-    "hnm": (np.array([0, 0, 0.12]), np.array([0, 0, 0.05])),
+    # The release (place) pose is already CAPTURED by the fixture feature —
+    # matching the reference, whose place_pose_dict[1] puts the part around
+    # its fixture before the gripper opens (``Utils.py:15-24``; the nut's
+    # ±2 cm z-check at ``Utils.py:45`` is "stayed on the bolt").  Releasing
+    # above the feature and hoping gravity threads it is a harder task than
+    # the reference's and fails on rim bounces/wedging.
+    # nut: peg (tip 0.07) is 4.5 cm through the hole at release
+    "nut": (np.array([0, 0, 0.15]), np.array([0, 0, 0.055])),
+    # screw: shaft tip 1.5+ cm into the hole (block top 0.03) at release
+    "screw": (np.array([0, 0, 0.15]), np.array([0, 0, 0.045])),
+    # connector: body bottom inside the socket opening (top 0.025)
+    "hnm": (np.array([0, 0, 0.12]), np.array([0, 0, 0.04])),
 }
 
 # success bands (meters): object settled INTO the feature, not on top of it

@@ -100,7 +100,7 @@ def test_execute_place_arm_transports_attachment():
     sched = np.concatenate([sched, np.repeat(sched[-1][None], n_drop, 0)])
     ob_in_grasp = np.eye(4, dtype=np.float32)
     ob_in_grasp[:3, 3] = [0.02, 0.0, 0.0]
-    final, ob_pose = simarm.execute_place_arm(
+    final, ob_pose, _ = simarm.execute_place_arm(
         lib, state, params, env_bin, jnp.int32(0), jnp.asarray(sched),
         jnp.asarray(base), jnp.asarray(g.ee_in_grasp),
         jnp.asarray(ob_in_grasp), jnp.asarray(g.spec.max_width), g.spec,
@@ -132,7 +132,7 @@ def test_execute_place_arm_clean_release():
     ob_in_grasp = np.eye(4, dtype=np.float32)
     ob_in_grasp[:3, 3] = [0.02, 0.0015, 0.0]
     width = jnp.float32(0.014)  # nut y-extent is ~0.0156 at scale 1
-    final, ob_pose = simarm.execute_place_arm(
+    final, ob_pose, _ = simarm.execute_place_arm(
         lib, state, params, env_bin, jnp.int32(0), jnp.asarray(sched),
         jnp.asarray(base), jnp.asarray(g.ee_in_grasp),
         jnp.asarray(ob_in_grasp), width, g.spec,
