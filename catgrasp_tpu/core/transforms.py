@@ -117,6 +117,31 @@ def pose_from_qt(q: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+def quat_slerp(q0: jnp.ndarray, q1: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Shortest-arc spherical interpolation between unit quaternions,
+    batched over leading axes of ``alpha``."""
+    d = jnp.sum(q0 * q1, axis=-1)
+    q1 = jnp.where(d[..., None] < 0, -q1, q1)  # shortest arc
+    d = jnp.abs(d).clip(0.0, 1.0)
+    theta = jnp.arccos(d)
+    s = jnp.sin(theta)
+    # fall back to lerp near theta=0 (sin underflow)
+    w0 = jnp.where(s > 1e-6, jnp.sin((1 - alpha) * theta) / jnp.where(s > 1e-6, s, 1.0), 1 - alpha)
+    w1 = jnp.where(s > 1e-6, jnp.sin(alpha * theta) / jnp.where(s > 1e-6, s, 1.0), alpha)
+    return quat_normalize(w0[..., None] * q0 + w1[..., None] * q1)
+
+
+def interpolate_poses(T0: jnp.ndarray, T1: jnp.ndarray, alphas: jnp.ndarray) -> jnp.ndarray:
+    """Waypoint poses between two 4x4 transforms: translation lerp +
+    rotation slerp — the ``interpolate_poses_matrix`` analog
+    (``ss-pybullet/pybullet_tools/utils.py:3925``).  alphas (K,) -> (K,4,4)."""
+    q0 = matrix_to_quat(T0[:3, :3])
+    q1 = matrix_to_quat(T1[:3, :3])
+    q = quat_slerp(q0, q1, alphas)
+    t = T0[:3, 3][None] * (1 - alphas[:, None]) + T1[:3, 3][None] * alphas[:, None]
+    return pose_from_qt(q, t)
+
+
 def pose_from_rt(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     top = jnp.concatenate([R, t[..., :, None]], axis=-1)
     bottom = jnp.broadcast_to(jnp.array([0.0, 0.0, 0.0, 1.0]), top.shape[:-2] + (1, 4))

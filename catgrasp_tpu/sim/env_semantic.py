@@ -123,16 +123,20 @@ def try_grasp(lib: ShapeLib, obj_shape: jnp.ndarray, fixture_shape_idx: jnp.ndar
     contact_mask = (m_pos | m_neg) & stable
 
     # --- B: insertion sweep -------------------------------------------------
-    # object pose path: pre -> place (translation interp, orientation = task
-    # orientation = identity in fixture frame)
+    # object pose path: the ACTUAL held pose (pre pose + in-hand drift) is
+    # interpolated to the exact place pose, like the reference's kinematic
+    # insert along ``interpolate_poses_matrix`` waypoints
+    # (``env_semantic_grasp.py:76-179``) — so tilted-hold task failures are
+    # visible to the affordance labels, not masked by an identity sweep
     alphas = jnp.linspace(0.0, 1.0, n_waypoints)
-    ob_pos_path = pre_t[None] * (1 - alphas[:, None]) + place_t[None] * alphas[:, None]
+    held0 = tf.pose_from_rt(jnp.eye(3), pre_t) @ drift
+    place_pose = tf.pose_from_rt(jnp.eye(3), place_t)
+    ob_pose_path = tf.interpolate_poses(held0, place_pose, alphas)
 
     fixture_csg = csglib.select_shape(lib.csg, fixture_shape_idx)
     grip_pts_g = _gripper_sample_points(spec, width)
 
-    def waypoint_collides(ob_pos):
-        ob_pose = jnp.eye(4).at[:3, 3].set(ob_pos)
+    def waypoint_collides(ob_pose):
         # grasp pose in fixture frame when holding the (drifted) object here
         grasp_w = ob_pose @ tf.pose_inverse(drift) @ grasp_in_ob
         gp_w = tf.transform_points(grasp_w, grip_pts_g)
@@ -142,7 +146,7 @@ def try_grasp(lib: ShapeLib, obj_shape: jnp.ndarray, fixture_shape_idx: jnp.ndar
         d_ob = csglib.csg_sdf(fixture_csg, op_w)
         return (jnp.min(d_grip) < 5e-4) | (jnp.min(d_ob) < -1e-3)
 
-    blocked = jnp.any(jax.vmap(waypoint_collides)(ob_pos_path))
+    blocked = jnp.any(jax.vmap(waypoint_collides)(ob_pose_path))
 
     # --- C: drop from the place pose ---------------------------------------
     FIXTURE_MASS = 1e9

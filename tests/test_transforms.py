@@ -119,3 +119,43 @@ def test_depth_to_xyzmap_roundtrip(rng):
     us, vs = np.meshgrid(np.arange(64), np.arange(48))
     np.testing.assert_allclose(np.asarray(uv[..., 0]), us, atol=1e-2)
     np.testing.assert_allclose(np.asarray(uv[..., 1]), vs, atol=1e-2)
+
+
+def test_quat_slerp_endpoints_and_midpoint():
+    axis = jnp.array([0.0, 0.0, 1.0])
+    q0 = tf.quat_identity()
+    q1 = tf.quat_from_axis_angle(axis, jnp.float32(np.pi / 2))
+    a = jnp.array([0.0, 0.5, 1.0])
+    q = tf.quat_slerp(jnp.broadcast_to(q0, (3, 4)), jnp.broadcast_to(q1, (3, 4)), a)
+    np.testing.assert_allclose(np.abs(np.sum(np.asarray(q[0]) * np.asarray(q0))), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.abs(np.sum(np.asarray(q[2]) * np.asarray(q1))), 1.0, atol=1e-5)
+    # midpoint = 45 deg about z
+    q_mid = tf.quat_from_axis_angle(axis, jnp.float32(np.pi / 4))
+    np.testing.assert_allclose(np.abs(np.sum(np.asarray(q[1]) * np.asarray(q_mid))), 1.0, atol=1e-5)
+
+
+def test_quat_slerp_shortest_arc():
+    # q and -q are the same rotation; slerp must not take the long way
+    axis = jnp.array([1.0, 0.0, 0.0])
+    q0 = tf.quat_from_axis_angle(axis, jnp.float32(0.1))
+    q1 = -tf.quat_from_axis_angle(axis, jnp.float32(0.3))
+    q = tf.quat_slerp(q0, q1, jnp.float32(0.5))
+    expect = tf.quat_from_axis_angle(axis, jnp.float32(0.2))
+    assert float(jnp.abs(jnp.sum(q * expect))) > 1 - 1e-5
+
+
+def test_interpolate_poses_matches_reference_semantics(rng):
+    # translation lerps, rotation slerps, endpoints exact
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, 3] = [0.1, -0.2, 0.3]
+    T1 = np.asarray(tf.pose_from_rt(tf.quat_to_matrix(
+        tf.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), jnp.float32(1.0))),
+        jnp.array([-0.1, 0.0, 0.5])))
+    alphas = jnp.linspace(0.0, 1.0, 7)
+    Ts = np.asarray(tf.interpolate_poses(jnp.asarray(T0), jnp.asarray(T1), alphas))
+    np.testing.assert_allclose(Ts[0], T0, atol=1e-5)
+    np.testing.assert_allclose(Ts[-1], T1, atol=1e-5)
+    np.testing.assert_allclose(Ts[3][:3, 3], (T0[:3, 3] + T1[:3, 3]) / 2, atol=1e-5)
+    # orthonormal rotations throughout
+    for T in Ts:
+        np.testing.assert_allclose(T[:3, :3] @ T[:3, :3].T, np.eye(3), atol=1e-5)
