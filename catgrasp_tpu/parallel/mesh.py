@@ -28,9 +28,24 @@ def make_mesh(n_devices: int | None = None, mp: int = 1,
     return Mesh(arr, axis_names=("dp", "mp"))
 
 
+def make_multislice_mesh(n_slices: int, mp: int = 1, devices=None) -> Mesh:
+    """Multi-slice mesh: a leading ``slice`` axis (DCN between TPU slices)
+    over a per-slice ``(dp, mp)`` ICI mesh.  Batch work shards over
+    ``("slice", "dp")`` jointly, so XLA reduces gradients hierarchically —
+    all-reduce over ICI inside each slice, then the (much smaller) partial
+    over DCN — without any code change in the train step."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % (n_slices * mp) == 0, f"{n} devices !~ {n_slices} slices x mp={mp}"
+    arr = np.array(devices).reshape(n_slices, n // (n_slices * mp), mp)
+    return Mesh(arr, axis_names=("slice", "dp", "mp"))
+
+
 def dp_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch-axis sharding (leading dim over dp)."""
-    return NamedSharding(mesh, P("dp"))
+    """Batch-axis sharding (leading dim over all batch-parallel axes:
+    dp, plus slice when the mesh is multi-slice)."""
+    axes = tuple(a for a in ("slice", "dp") if a in mesh.axis_names)
+    return NamedSharding(mesh, P(axes))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -69,3 +69,28 @@ def test_seg_predicter_end_to_end(rng):
     labels, n_inst = pred.predict(xyz, nrm)
     assert labels.shape == (256,)
     assert n_inst >= 1
+
+
+def test_mean_shift_at_reference_scene_scale():
+    """20k shifted points, 8 touching instances (the reference's densest
+    scenes): MeanShift must recover every instance, not collapse to one
+    cluster (round-1 failure mode was a single mode)."""
+    import numpy as np
+    from catgrasp_tpu.nn.cluster import mean_shift
+
+    rng = np.random.default_rng(3)
+    n_inst, n_pts = 8, 20000
+    # nut-pile geometry: centers ~3-4 cm apart, shifted points = center + eps
+    centers = np.array([[0.04 * (i % 4) - 0.06, 0.035 * (i // 4) - 0.02, 0.02]
+                        for i in range(n_inst)])
+    inst = rng.integers(0, n_inst, n_pts)
+    shifted = centers[inst] + rng.normal(scale=0.004, size=(n_pts, 3))
+    labels, _, n_modes = mean_shift(jnp.asarray(shifted.astype(np.float32)),
+                                    0.015, n_iter=12, n_seeds=128)
+    labels = np.asarray(labels)
+    assert int(n_modes) == n_inst
+    # every predicted cluster maps to exactly one true instance (purity)
+    for m in np.unique(labels):
+        true = inst[labels == m]
+        purity = np.bincount(true).max() / len(true)
+        assert purity > 0.95, (m, purity)
