@@ -117,15 +117,22 @@ def render(lib: ShapeLib, state: SceneState, params: SceneParams,
     nocs = (loc_win - b[:, 0]) / jnp.maximum(b[:, 1] - b[:, 0], 1e-9)
     nocs = jnp.where((seg >= 0)[:, None], jnp.clip(nocs, 0.0, 1.0), 0.0)
 
-    # world normal from the winning body's CSG gradient
-    def normal_one(x_i, body_i):
-        shape = csglib.select_shape(lib.csg, params.shape_id[body_i])
-        Rb = tf.quat_to_matrix(state.quat[body_i])
-        lp = Rb.T @ (x_i - state.pos[body_i]) / params.scale[body_i]
-        _, n = csglib.csg_sdf_and_normal(shape, lp[None])
-        return Rb @ n[0]
+    # world normal from the winning body's CSG gradient.  Evaluated for ALL
+    # bodies at once (same shape-gather-per-body pattern as _scene_sdf) and
+    # selected per pixel — one vectorized VPU pass instead of a serialized
+    # lax.map over pixel chunks; the redundant non-winning-body work is
+    # ~1/n_steps of the march cost
+    def per_body_normal(shape_id, pts_loc):
+        shape = csglib.select_shape(lib.csg, shape_id)
+        _, n = csglib.csg_sdf_and_normal(shape, pts_loc)
+        return n  # body-local frame
 
-    normal = jax.lax.map(lambda a: normal_one(a[0], a[1]), (x, body), batch_size=4096)
+    n_loc = jax.vmap(per_body_normal, in_axes=(0, -2), out_axes=-2)(
+        params.shape_id, loc)  # (P, N, 3)
+    Rall = tf.quat_to_matrix(state.quat)  # (N,3,3)
+    n_w = jnp.einsum("bij,pbj->pbi", Rall, n_loc)
+    normal = jnp.take_along_axis(
+        n_w, body[:, None, None].repeat(3, -1), axis=1)[:, 0]
     # camera frame, oriented toward the camera — matching the reference's
     # o3d normal maps (``tool.py:96-122`` orients at the camera origin) and
     # consistent with the cam-frame ``xyz`` cloud below.
