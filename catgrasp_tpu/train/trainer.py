@@ -128,10 +128,16 @@ class Trainer:
                     batch = jax.tree.map(jnp.asarray, batch)
                     with sw.section("train_step"):
                         state, loss, _ = step_fn(state, batch, sub)
-                    losses.append(float(loss))
+                    # keep the loss ON DEVICE: a per-step float() readback
+                    # blocks async dispatch (and costs a round trip over a
+                    # tunneled runtime) — fetch once per log interval and
+                    # once, stacked, at epoch end
+                    losses.append(loss)
                     if verbose and i % log_every == 0:
-                        print(f"epoch {epoch} it {i} loss {losses[-1]:.4f}")
-            train_loss = float(np.mean(losses)) if losses else float("inf")
+                        print(f"epoch {epoch} it {i} loss {float(loss):.4f}",
+                              flush=True)
+            train_loss = (float(jnp.mean(jnp.stack(losses)))
+                          if losses else float("inf"))
             rec = {"epoch": epoch, "train_loss": train_loss}
             if train_loss < self.best_train:
                 self.best_train = train_loss
@@ -160,9 +166,9 @@ class Trainer:
         losses = []
         for batch in self.val_data():
             batch = jax.tree.map(jnp.asarray, batch)
-            losses.append(float(self._eval_fn(state.params, batch,
-                                              jax.random.PRNGKey(0))))
-        return float(np.mean(losses)) if losses else float("inf")
+            losses.append(self._eval_fn(state.params, batch,
+                                        jax.random.PRNGKey(0)))
+        return float(jnp.mean(jnp.stack(losses))) if losses else float("inf")
 
 
 def save_checkpoint(path: str, state: TrainState, epoch: int) -> None:
