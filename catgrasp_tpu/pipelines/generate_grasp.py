@@ -37,10 +37,21 @@ def generate_complete_grasps(class_name: str, split: str, index: int,
                              gripper: Gripper, cfg: dict, seed: int = 0,
                              max_candidates: int = 4096,
                              score_chunk: int = 256,
-                             trials: int | None = None):
-    """Full pipeline for one object; returns dict (poses, scores, meta)."""
-    mesh = prim.make_instance(class_name, split, index)
-    csg = csglib.make_csg_instance(class_name, split, index)
+                             trials: int | None = None,
+                             obj_path: str | None = None):
+    """Full pipeline for one object; returns dict (poses, scores, meta).
+
+    ``obj_path``: an external watertight .obj (the reference's
+    ``data/object_models/*.obj`` ingestion path, ``generate_grasp.py:127``);
+    the engine then scores through the baked-grid-SDF narrowphase instead
+    of the procedural CSG tree."""
+    if obj_path:
+        from ..geom.mesh import TriMesh
+        mesh, csg, narrowphase = TriMesh.load_obj(obj_path), None, "grid"
+    else:
+        mesh = prim.make_instance(class_name, split, index)
+        csg = csglib.make_csg_instance(class_name, split, index)
+        narrowphase = "csg"
     rng = np.random.default_rng(seed)
     n_pts = int(cfg.get("n_surface_points_db", 200))
     points, normals = mesh.sample_surface(n_pts, rng, return_normals=True)
@@ -69,14 +80,17 @@ def generate_complete_grasps(class_name: str, split: str, index: int,
           f"(stats={jax.tree.map(int, stats)})")
 
     # --- physics scoring, chunked over grasps ------------------------------
-    lib = build_shape_lib([mesh], [csg], n_surf=64, seed=seed)
+    lib = build_shape_lib([mesh], [csg] if csg is not None else None,
+                          n_surf=64, seed=seed,
+                          bake_grids=narrowphase == "grid")
     trials = trials if trials is not None else int(cfg.get("perturbation_trials", 50))
     scores = []
     for i in range(0, len(poses), score_chunk):
         chunk = jnp.asarray(poses[i:i + score_chunk])
         k_score, sub = jax.random.split(k_score)
         s = eg.perturbation_scores(sub, lib, jnp.int32(0), jnp.float32(1.0),
-                                   chunk, trials=trials, spec=gripper.spec)
+                                   chunk, trials=trials, spec=gripper.spec,
+                                   narrowphase=narrowphase)
         scores.append(np.asarray(s))
     scores = np.concatenate(scores) if scores else np.zeros(0, np.float32)
     return {
@@ -113,18 +127,28 @@ def main():
     ap.add_argument("--index", type=int, default=-1, help="-1 = all instances")
     ap.add_argument("--out_dir", default="dataset/grasps")
     ap.add_argument("--trials", type=int, default=None)
+    ap.add_argument("--obj", default=None,
+                    help="external watertight .obj instead of a procedural "
+                         "instance (scored via grid-SDF narrowphase)")
     args = ap.parse_args()
 
     cfg = load_config("config_grasp.yml")
     gripper = Gripper.default()
     os.makedirs(args.out_dir, exist_ok=True)
-    indices = (range(prim.num_instances(args.class_name, args.split))
-               if args.index < 0 else [args.index])
+    if args.obj:
+        indices = [max(args.index, 0)]
+    else:
+        indices = (range(prim.num_instances(args.class_name, args.split))
+                   if args.index < 0 else [args.index])
     bins = np.array(cfg["classes"])
     for i in indices:
         db = generate_complete_grasps(args.class_name, args.split, i, gripper, cfg,
-                                      trials=args.trials)
-        path = f"{args.out_dir}/{args.class_name}_{args.split}_{i}_complete_grasp.npz"
+                                      trials=args.trials, obj_path=args.obj)
+        if args.obj:
+            stem = os.path.splitext(os.path.basename(args.obj))[0]
+            path = f"{args.out_dir}/{stem}_complete_grasp.npz"
+        else:
+            path = f"{args.out_dir}/{args.class_name}_{args.split}_{i}_complete_grasp.npz"
         np.savez_compressed(path, **db)
         bal = balance_score_bins(db, bins, int(cfg.get("max_per_score_bin", 1000)))
         np.savez_compressed(path.replace("_complete_", "_balanced_"), **bal)

@@ -39,6 +39,7 @@ def main():
     ap.add_argument("--n_epochs", type=int, default=None)
     ap.add_argument("--batch_size", type=int, default=None)
     ap.add_argument("--ckpt_dir", default="artifacts/grasp")
+    ap.add_argument("--resume", default=None, help="checkpoint to resume from")
     args = ap.parse_args()
 
     cfg = load_config("config_grasp.yml")
@@ -58,6 +59,10 @@ def main():
     bs = cfg["batch_size"]
     example = jnp.zeros((bs, cfg["n_pts"], cfg.get("input_channel", 6)), jnp.float32)
     state = create_state(model, cfg, example, max(len(ds) // bs, 1))
+    if args.resume:
+        from ..train.trainer import load_checkpoint
+        state, ep = load_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume} (epoch {ep})")
 
     trainer = Trainer(model=model, cfg=cfg, loss_fn=loss_fn,
                       train_data=lambda: ds.batches(bs),

@@ -42,6 +42,7 @@ def main():
     ap.add_argument("--n_epochs", type=int, default=None)
     ap.add_argument("--batch_size", type=int, default=None)
     ap.add_argument("--ckpt_dir", default="artifacts/nunocs")
+    ap.add_argument("--resume", default=None, help="checkpoint to resume from")
     args = ap.parse_args()
 
     cfg = load_config("config_nunocs.yml")
@@ -64,6 +65,10 @@ def main():
     example = jnp.zeros((bs, cfg["n_pts"], cfg.get("input_channel", 6)), jnp.float32)
     steps = max(len(ds) // bs, 1)
     state = create_state(model, cfg, example, steps)
+    if args.resume:
+        from ..train.trainer import load_checkpoint
+        state, ep = load_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume} (epoch {ep})")
 
     trainer = Trainer(
         model=model, cfg=cfg, loss_fn=loss_fn,

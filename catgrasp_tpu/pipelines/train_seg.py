@@ -49,6 +49,7 @@ def main():
     ap.add_argument("--n_epochs", type=int, default=None)
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--ckpt_dir", default="artifacts/seg")
+    ap.add_argument("--resume", default=None, help="checkpoint to resume from")
     args = ap.parse_args()
 
     cfg = load_config("config_seg.yml")
@@ -67,6 +68,10 @@ def main():
     from ..train.trainer import TrainState, make_optimizer
     state = TrainState.create(apply_fn=model.apply, params=variables["params"],
                               tx=make_optimizer(cfg, max(len(ds) // args.batch_size, 1)))
+    if args.resume:
+        from ..train.trainer import load_checkpoint
+        state, ep = load_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume} (epoch {ep})")
 
     trainer = Trainer(model=model, cfg=cfg, loss_fn=loss_fn,
                       train_data=lambda: ds.batches(args.batch_size),

@@ -121,23 +121,35 @@ class Trainer:
                              run=type(self.model).__name__)
         sw = profiling.Stopwatch()
         for epoch in range(n_epochs):
-            losses = []
+            loss_sum, loss_n, window = 0.0, 0, []
+
+            def drain():
+                nonlocal loss_sum, loss_n
+                if window:
+                    loss_sum += float(jnp.sum(jnp.stack(window)))
+                    loss_n += len(window)
+                    window.clear()
+
             with profiling.trace():  # CATGRASP_TRACE_DIR gates capture
                 for i, batch in enumerate(self.train_data()):
                     rng, sub = jax.random.split(rng)
                     batch = jax.tree.map(jnp.asarray, batch)
                     with sw.section("train_step"):
                         state, loss, _ = step_fn(state, batch, sub)
-                    # keep the loss ON DEVICE: a per-step float() readback
-                    # blocks async dispatch (and costs a round trip over a
-                    # tunneled runtime) — fetch once per log interval and
-                    # once, stacked, at epoch end
-                    losses.append(loss)
-                    if verbose and i % log_every == 0:
-                        print(f"epoch {epoch} it {i} loss {float(loss):.4f}",
-                              flush=True)
-            train_loss = (float(jnp.mean(jnp.stack(losses)))
-                          if losses else float("inf"))
+                    # keep the loss ON DEVICE between log intervals: a
+                    # per-step float() readback blocks async dispatch (and
+                    # costs a round trip on a tunneled runtime).  But the
+                    # window must stay BOUNDED — holding every step's
+                    # device scalar pins runtime buffers and leaks tens of
+                    # GB over an epoch — so drain it at each log interval.
+                    window.append(loss)
+                    if i % log_every == log_every - 1:
+                        if verbose:
+                            print(f"epoch {epoch} it {i} loss {float(loss):.4f}",
+                                  flush=True)
+                        drain()
+            drain()
+            train_loss = loss_sum / loss_n if loss_n else float("inf")
             rec = {"epoch": epoch, "train_loss": train_loss}
             if train_loss < self.best_train:
                 self.best_train = train_loss

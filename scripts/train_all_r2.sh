@@ -7,8 +7,10 @@ cd /root/repo
 TRAIN=dataset/nut/packed_train
 VAL=dataset/nut/packed_val
 
+SEG_RESUME=""
+[ -f artifacts/seg/best_train.ckpt ] && SEG_RESUME="--resume artifacts/seg/best_train.ckpt"
 timeout 7200 python -m catgrasp_tpu.pipelines.train_seg \
-  --data_root $TRAIN --batch_size 8 \
+  --data_root $TRAIN --batch_size 8 $SEG_RESUME \
   --ckpt_dir artifacts/seg > logs/train_seg_r2.log 2>&1
 echo "SEG_DONE rc=$?" >> logs/train_chain.log
 
