@@ -228,13 +228,14 @@ class PackedGrasp:
             ks = order[i:i + batch_size]
             raw = np.asarray(self.clouds[self.cloud_row[ks]], np.float32)
             B = raw.shape[0]
+            # subsample BEFORE the frame transform: 4x less einsum work on
+            # the (single-core) host loader, identical per-point semantics
+            idx = _batch_indices(self.rng, self.P, n_pts, B, 0, 0)
+            raw = np.take_along_axis(raw, idx[..., None], axis=1)
             T = np.linalg.inv(self.pose[ks])  # cam -> grasp frame
             xyz = np.einsum("bij,bpj->bpi", T[:, :3, :3], raw[..., :3]) \
                 + T[:, None, :3, 3]
             nrm = np.einsum("bij,bpj->bpi", T[:, :3, :3], raw[..., 3:6])
-            idx = _batch_indices(self.rng, self.P, n_pts, B, 0, 0)
-            xyz = np.take_along_axis(xyz, idx[..., None], axis=1)
-            nrm = np.take_along_axis(nrm, idx[..., None], axis=1)
             if flip_p > 0:
                 flip = self.rng.random(B) <= flip_p
                 xyz[flip, :, 1] *= -1
