@@ -18,6 +18,17 @@ from __future__ import annotations
 
 import numpy as np
 
+_PIXEL_GRIDS: dict = {}
+
+
+def _pixel_grid(H: int, W: int):
+    """Cached (us, vs) meshgrid — pack_split calls load_scene tens of
+    thousands of times on same-shaped scenes."""
+    if (H, W) not in _PIXEL_GRIDS:
+        _PIXEL_GRIDS[(H, W)] = np.meshgrid(
+            np.arange(W, dtype=np.float32), np.arange(H, dtype=np.float32))
+    return _PIXEL_GRIDS[(H, W)]
+
 
 def load_scene(path: str) -> dict:
     """Load a scene record, decoding the compact on-disk encoding back to
@@ -39,8 +50,7 @@ def load_scene(path: str) -> dict:
         K = scene["K"]
         depth = scene["depth"]
         H, W = depth.shape
-        us, vs = np.meshgrid(np.arange(W, dtype=np.float32),
-                             np.arange(H, dtype=np.float32))
+        us, vs = _pixel_grid(H, W)
         xyz = np.empty((H, W, 3), np.float32)
         xyz[..., 0] = (us - K[0, 2]) / K[0, 0] * depth
         xyz[..., 1] = (vs - K[1, 2]) / K[1, 1] * depth
@@ -104,24 +114,38 @@ def dense_clutter_grasp_labels(scene: dict, grasp_db: dict, min_vis: float = 0.8
     scores_db = grasp_db["scores"]
     shape_match = grasp_db.get("shape_id", None)
 
-    labels = []
+    # Select indices first, materialize matrices only for the <=max_per_scene
+    # survivors: the DB holds thousands of poses per object and building a
+    # tuple per kept pose dominated pack_split's profile.  The approach-
+    # faces-camera gate needs only rotations: (ob_in_cam @ g)[2, 0] =
+    # ob_in_cam[2, :3] @ g[:3, 0] (translation cannot enter a rotation
+    # column), so the full per-pose matmul is deferred to the survivors.
+    bodies, cams, scales, pose_ids = [], [], [], []
     for i in np.where(scene["active"])[0]:
         if scene["vis_ratio"][i] < min_vis:
             continue
         if shape_match is not None and int(scene["shape_id"][i]) != int(shape_match):
             continue
         ob_in_cam = T_wc @ scene["ob_in_world"][i]
-        s = float(scene["scales"][i])
-        # grasp DB is at unit scale: scale the translation
-        g = poses_db.copy()
-        g[:, :3, 3] *= s
-        grasp_in_cam = np.einsum("ij,njk->nik", ob_in_cam, g)
-        # approach faces camera (+z)
-        keep = grasp_in_cam[:, 2, 0] >= 0
-        ids = np.where(keep)[0]
-        for j in ids:
-            labels.append((grasp_in_cam[j].astype(np.float32), float(scores_db[j]), int(i)))
-    if len(labels) > max_per_scene:
-        sel = rng.choice(len(labels), max_per_scene, replace=False)
-        labels = [labels[k] for k in sel]
+        ids = np.nonzero(poses_db[:, :3, 0] @ ob_in_cam[2, :3] >= 0)[0]
+        if ids.size:
+            bodies.append(int(i))
+            cams.append(ob_in_cam)
+            scales.append(float(scene["scales"][i]))
+            pose_ids.append(ids)
+    if not bodies:
+        return []
+    counts = np.array([len(ids) for ids in pose_ids])
+    total = int(counts.sum())
+    sel = (rng.choice(total, max_per_scene, replace=False)
+           if total > max_per_scene else np.arange(total))
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    labels = []
+    for k in sel:
+        b = int(np.searchsorted(starts, k, side="right")) - 1
+        j = int(pose_ids[b][k - starts[b]])
+        g = poses_db[j].copy()
+        g[:3, 3] *= scales[b]
+        labels.append(((cams[b] @ g).astype(np.float32),
+                       float(scores_db[j]), bodies[b]))
     return labels

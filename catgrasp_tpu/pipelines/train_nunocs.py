@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--batch_size", type=int, default=None)
     ap.add_argument("--ckpt_dir", default="artifacts/nunocs")
     ap.add_argument("--resume", default=None, help="checkpoint to resume from")
+    ap.add_argument("--max_seconds", type=float, default=None,
+                    help="wall-clock bound; partial epoch is checkpointed")
     args = ap.parse_args()
 
     cfg = load_config("config_nunocs.yml")
@@ -76,7 +78,7 @@ def main():
         val_data=(lambda: val.batches(bs, shuffle=False)) if val else None,
         ckpt_dir=args.ckpt_dir,
     )
-    trainer.fit(state, n_epochs=args.n_epochs)
+    trainer.fit(state, n_epochs=args.n_epochs, max_seconds=args.max_seconds)
 
 
 if __name__ == "__main__":

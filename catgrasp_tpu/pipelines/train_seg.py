@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--ckpt_dir", default="artifacts/seg")
     ap.add_argument("--resume", default=None, help="checkpoint to resume from")
+    ap.add_argument("--max_seconds", type=float, default=None,
+                    help="wall-clock bound; partial epoch is checkpointed")
     args = ap.parse_args()
 
     cfg = load_config("config_seg.yml")
@@ -76,7 +78,7 @@ def main():
     trainer = Trainer(model=model, cfg=cfg, loss_fn=loss_fn,
                       train_data=lambda: ds.batches(args.batch_size),
                       ckpt_dir=args.ckpt_dir)
-    trainer.fit(state, n_epochs=args.n_epochs)
+    trainer.fit(state, n_epochs=args.n_epochs, max_seconds=args.max_seconds)
 
 
 if __name__ == "__main__":

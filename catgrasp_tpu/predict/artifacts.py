@@ -27,8 +27,9 @@ def load_params(path: str, template_params):
 
 
 def _ckpt(dir_: str) -> str:
-    """Prefer best_val (the reference evaluates on best-val weights)."""
-    for name in ("best_val.ckpt", "best_train.ckpt"):
+    """Prefer best_val (the reference evaluates on best-val weights);
+    ``last.ckpt`` (periodic mid-epoch save) is the final fallback."""
+    for name in ("best_val.ckpt", "best_train.ckpt", "last.ckpt"):
         p = os.path.join(dir_, name)
         if os.path.exists(p):
             return p

@@ -109,17 +109,27 @@ class Trainer:
     best_val: float = field(default=float("inf"))
 
     def fit(self, state: TrainState, n_epochs: int | None = None,
-            log_every: int = 50, verbose: bool = True) -> TrainState:
+            log_every: int = 50, verbose: bool = True,
+            max_seconds: float | None = None) -> TrainState:
+        """``max_seconds`` bounds wall clock: on expiry the partial epoch is
+        scored and checkpointed like a full one, so a bounded run always
+        leaves a usable ``best_train.ckpt`` (the reference trainer can only
+        be killed externally, losing the epoch in flight)."""
+        import time as _time
+
         from ..utils.metrics import MetricsLogger
         from ..utils import profiling
 
         n_epochs = n_epochs or self.cfg.get("n_epochs", 1)
+        max_seconds = max_seconds or self.cfg.get("max_seconds")
+        t_start = _time.monotonic()
         step_fn = make_train_step(self.loss_fn, self.mesh)
         rng = jax.random.PRNGKey(self.cfg.get("random_seed", 0))
         os.makedirs(self.ckpt_dir, exist_ok=True)
         mlog = MetricsLogger(f"{self.ckpt_dir}/metrics.jsonl",
                              run=type(self.model).__name__)
         sw = profiling.Stopwatch()
+        expired = False
         for epoch in range(n_epochs):
             loss_sum, loss_n, window = 0.0, 0, []
 
@@ -148,6 +158,11 @@ class Trainer:
                             print(f"epoch {epoch} it {i} loss {float(loss):.4f}",
                                   flush=True)
                         drain()
+                        save_checkpoint(f"{self.ckpt_dir}/last.ckpt", state, epoch)
+                        if (max_seconds is not None
+                                and _time.monotonic() - t_start > max_seconds):
+                            expired = True
+                            break
             drain()
             train_loss = loss_sum / loss_n if loss_n else float("inf")
             rec = {"epoch": epoch, "train_loss": train_loss}
@@ -164,6 +179,11 @@ class Trainer:
                 if verbose:
                     print(f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f}")
             mlog.event("epoch", **rec)
+            if expired:
+                if verbose:
+                    print(f"wall-clock bound {max_seconds}s reached at epoch "
+                          f"{epoch}; stopping", flush=True)
+                break
         mlog.event("timing", **sw.report())
         mlog.close()
         return state
