@@ -121,7 +121,8 @@ class Trainer:
         from ..utils import profiling
 
         n_epochs = n_epochs or self.cfg.get("n_epochs", 1)
-        max_seconds = max_seconds or self.cfg.get("max_seconds")
+        if max_seconds is None:
+            max_seconds = self.cfg.get("max_seconds")
         t_start = _time.monotonic()
         step_fn = make_train_step(self.loss_fn, self.mesh)
         rng = jax.random.PRNGKey(self.cfg.get("random_seed", 0))

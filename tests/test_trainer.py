@@ -62,3 +62,19 @@ def test_resume_roundtrip(tmp_path):
     # resumed training continues without error and optimizer state is live
     out = tr.fit(restored, n_epochs=1, verbose=False)
     assert int(out.step) > int(restored.step)
+
+
+def test_max_seconds_bound_checkpoints_partial_epoch(tmp_path):
+    # many batches + max_seconds=0: the bound trips at the FIRST log
+    # interval, yet best_train.ckpt and last.ckpt exist and only one
+    # (partial) epoch event is logged
+    tr, state = _make(tmp_path)
+    tr.train_data = _data(n_batches=8)
+    out = tr.fit(state, n_epochs=5, log_every=2, verbose=False,
+                 max_seconds=0.0)
+    assert os.path.exists(tmp_path / "best_train.ckpt")
+    assert os.path.exists(tmp_path / "last.ckpt")
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    epochs = [l for l in lines if l["kind"] == "epoch"]
+    assert len(epochs) == 1  # stopped inside epoch 0
+    assert int(out.step) == 2  # exactly one log interval of steps ran
