@@ -28,7 +28,12 @@ from ..nn.pointnet import PointNetCls, PointNetSeg
 from ..nn.voxelnet import SegNet
 from .ransac import estimate_9d_transform
 
-CLUSTER_BANDWIDTH = {"nut": 0.007, "hnm": 0.005, "screw": 0.009}  # predicter.py:317-331
+# per-class MeanShift bandwidths (reference predicter.py:317-331).  nut is
+# calibrated UP from the reference's value to our seg net's offset-noise
+# floor: on val scenes 0.007 oversegments 2-3x (15-20 clusters for 5-8
+# instances) while 0.012 matches instance counts (see logs/segdiag sweep,
+# round 2)
+CLUSTER_BANDWIDTH = {"nut": 0.012, "hnm": 0.005, "screw": 0.009}
 
 
 @dataclass
