@@ -43,18 +43,55 @@ def category_lib(class_name: str, split: str, n_surf: int = 48):
     return build_shape_lib(meshes, csgs, n_surf=n_surf)
 
 
-def random_camera(key, base_height: float = 0.6, jitter: float = 0.05):
-    """Top-down camera with small pose jitter keeping the bin in frame
-    (``generate_pile_data.py:34-41``)."""
-    k1, k2 = jax.random.split(key)
+def random_camera(key, base_height: float = 0.6, jitter: float = 0.05,
+                  max_rot_deg: float = 10.0):
+    """Top-down camera with reference-magnitude pose jitter — ±5 cm
+    translation AND up to 10° rotation (``random_uniform_magnitude(max_T=
+    0.05, max_R=10)``, ``generate_pile_data.py:34``) — keeping the bin in
+    frame.  The reference rejection-resamples until all bin verts project
+    inside the image; here the same is a vectorized first-valid pick over a
+    fixed candidate batch (XLA-friendly), falling back to straight-down."""
     look_down = jnp.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
-    dxy = jax.random.uniform(k1, (2,), minval=-jitter, maxval=jitter)
-    dz = jax.random.uniform(k2, (), minval=-jitter, maxval=jitter)
-    cam = jnp.eye(4)
-    cam = cam.at[:3, :3].set(look_down)
-    cam = cam.at[:2, 3].set(dxy)
-    cam = cam.at[2, 3].set(base_height + dz)
-    return cam
+    NC = 8  # rejection-sampling candidates
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    dxy = jax.random.uniform(k1, (NC, 2), minval=-jitter, maxval=jitter)
+    dz = jax.random.uniform(k2, (NC,), minval=-jitter, maxval=jitter)
+    axis = tf.random_direction(k3, (NC,))
+    ang = jax.random.uniform(k4, (NC,), minval=-1.0, maxval=1.0) * jnp.deg2rad(max_rot_deg)
+    R = jax.vmap(tf.axis_angle_to_matrix)(axis, ang)  # (NC,3,3)
+
+    def build(i):
+        cam = jnp.eye(4)
+        cam = cam.at[:3, :3].set(look_down @ R[i])
+        cam = cam.at[:2, 3].set(dxy[i])
+        cam = cam.at[2, 3].set(base_height + dz[i])
+        return cam
+
+    cams = jax.vmap(build)(jnp.arange(NC))
+    # bin-in-frame test: project the 8 bin-top corners (inner 0.3 box)
+    corners = jnp.array([[sx * 0.15, sy * 0.15, z]
+                         for sx in (-1, 1) for sy in (-1, 1)
+                         for z in (0.0, 0.12)], jnp.float32)
+    K = jnp.asarray(_CAM_K_FOR_JITTER)
+    H, W = _CAM_HW_FOR_JITTER
+
+    def in_frame(cam):
+        pc = tf.transform_points(tf.pose_inverse(cam), corners)
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        u = K[0, 0] * pc[:, 0] / z + K[0, 2]
+        v = K[1, 1] * pc[:, 1] / z + K[1, 2]
+        return jnp.all((u >= 0) & (u < W) & (v >= 0) & (v < H) & (pc[:, 2] > 0))
+
+    ok = jax.vmap(in_frame)(cams)
+    fallback = jnp.eye(4).at[:3, :3].set(look_down).at[2, 3].set(base_height)
+    idx = jnp.argmax(ok)  # first valid candidate
+    return jnp.where(ok.any(), cams[idx], fallback)
+
+
+# module-level camera intrinsics for the in-frame test; set by
+# generate_scenes before tracing (static per run)
+_CAM_K_FOR_JITTER = np.array([[564.0, 0, 258.0], [0, 564.0, 193.0], [0, 0, 1.0]])
+_CAM_HW_FOR_JITTER = (386, 516)
 
 
 def generate_scenes(class_name: str, split: str, n_scenes: int, out_dir: str,
@@ -67,6 +104,9 @@ def generate_scenes(class_name: str, split: str, n_scenes: int, out_dir: str,
     K = np.array(cfg["K"], np.float32).reshape(3, 3).copy()
     K[:2] *= cfg.get("render_downscale", 0.25)
     Kj = jnp.asarray(K)
+    global _CAM_K_FOR_JITTER, _CAM_HW_FOR_JITTER
+    _CAM_K_FOR_JITTER = K
+    _CAM_HW_FOR_JITTER = (H, W)
 
     lib = category_lib(class_name, split)
     pile_cfg = env_pile.PileConfig(

@@ -386,118 +386,139 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
             normal = np.asarray(out["normal"])
 
             min_px = max(20, (H * W) // 2500)
-            if not oracle and predicters and "seg" in predicters:
-                # learned instance segmentation (seg net + MeanShift), as the
-                # reference's PointGroupPredictor path (:213)
-                vm = seg_body >= 0
-                labels, n_seg = predicters["seg"].predict(xyz[vm], normal[vm])
-                seg = np.full(seg_body.shape, -1, np.int64)
-                seg[vm] = labels
-                seg_ids = list(range(max(n_seg, 1)))
-            else:
-                seg = seg_body
-                seg_ids = [i for i in range(n_objects) if active[i]]
-
-            # the reference tries EVERY segment sorted by pixel count (:266),
-            # yielding from the first that produces candidates
-            seg_ids = sorted(seg_ids, key=lambda i: -(seg == i).sum())
+            learned_seg = bool(not oracle and predicters and "seg" in predicters)
+            # learned seg retries the attempt at merged/split bandwidths
+            # before giving up the round — small or merged MeanShift
+            # clusters were the sole cause of unattempted objects in the
+            # round-2 learned run (PointGroup's dual-clustering analog)
             found = None
-            for sid in seg_ids:
-                m = seg == sid
-                if m.sum() < min_px:
-                    break  # sorted: the rest are smaller
-                if not oracle and predicters and "seg" in predicters:
-                    # sim-side bookkeeping only: which BODY did perception
-                    # pick? (the reference needs no such map — PyBullet
-                    # grasps whatever the gripper touches; our closing law
-                    # tracks one body)
-                    inside = seg_body[m & (seg_body >= 0)]
-                    if len(inside) == 0:
-                        continue
-                    target = int(np.bincount(inside, minlength=n_objects).argmax())
-                    if not active[target]:
-                        continue
+            for bw_scale in ((1.0, 0.67, 1.5) if learned_seg else (1.0,)):
+                if learned_seg:
+                    # learned instance segmentation (seg net + MeanShift),
+                    # as the reference's PointGroupPredictor path (:213)
+                    vm = seg_body >= 0
+                    labels, n_seg = predicters["seg"].predict(
+                        xyz[vm], normal[vm], bandwidth_scale=bw_scale)
+                    seg = np.full(seg_body.shape, -1, np.int64)
+                    seg[vm] = labels
+                    seg_ids = list(range(max(n_seg, 1)))
                 else:
-                    target = sid
-                pts = xyz[m]
-                nrm = normal[m]
-                # background = visible non-target points + occupancy-
-                # densified occluded space (makeOccupancyGridFromCloudScan
-                # at reference run_grasp_simulation.py:139)
-                bg_m = ~m & (seg_body != -1)
-                depth_img = np.asarray(out["depth"])
-                # 1.56 mm occupancy voxels (128^3 over 0.2 m reach): the
-                # 3.1 mm grid of round 1 blocked deep engagements with
-                # phantom occupied space around thin features
-                occ_c, occ_m = occupancy.background_cloud_from_depth(
-                    jnp.asarray(np.where(m, 0.0, depth_img)), Kc,
-                    jnp.asarray(seg), -1, grid_dims=(128, 128, 128),
-                    pad=1e-3, center=jnp.asarray(pts.mean(0)), reach=0.1)
-                occ_pts = np.asarray(occ_c)[np.asarray(occ_m)]
-                bg = np.concatenate([xyz[bg_m], occ_pts.astype(np.float32)])
-                if len(bg) == 0:
-                    bg = np.full((1, 3), 999.0, np.float32)
-                elif len(bg) > 4096:
-                    bg = bg[rng.choice(len(bg), 4096, replace=False)]
+                    seg = seg_body
+                    seg_ids = [i for i in range(n_objects) if active[i]]
 
-                # --- pose estimation (oracle or net) -----------------------
-                # nocs_pose maps CENTERED NUNOCS ([-0.5,0.5]^3) -> cam frame
-                if oracle:
-                    ob_in_cam = T_wc @ np.asarray(
-                        tf.pose_from_qt(state.quat[target], state.pos[target]))
-                    s = float(scale[target])
-                    mesh_idx = int(shape_id[target])
-                    T_nocs = to_nunocs_transform(meshes[mesh_idx].vertices * s)
-                    nocs_pose = (ob_in_cam @ np.linalg.inv(T_nocs)).astype(np.float32)
-                else:
-                    res = predicters["nocs"].predict(pts, nrm)
-                    if not res["valid"]:
-                        continue
-                    nocs_pose = res["nocs_pose"].astype(np.float32)
+                # the reference tries EVERY segment sorted by pixel count
+                # (:266), yielding from the first that produces candidates
+                seg_ids = sorted(seg_ids, key=lambda i: -(seg == i).sum())
+                for sid in seg_ids:
+                    m = seg == sid
+                    if m.sum() < min_px:
+                        break  # sorted: the rest are smaller
+                    if learned_seg:
+                        # sim-side bookkeeping only: which BODY did
+                        # perception pick? (the reference needs no such map
+                        # — PyBullet grasps whatever the gripper touches;
+                        # our closing law tracks one body)
+                        inside = seg_body[m & (seg_body >= 0)]
+                        if len(inside) == 0:
+                            continue
+                        target = int(np.bincount(inside, minlength=n_objects).argmax())
+                        if not active[target]:
+                            continue
+                    else:
+                        target = sid
+                    pts = xyz[m]
+                    nrm = normal[m]
+                    # background = visible non-target points + occupancy-
+                    # densified occluded space (makeOccupancyGridFromCloudScan
+                    # at reference run_grasp_simulation.py:139)
+                    bg_m = ~m & (seg_body != -1)
+                    depth_img = np.asarray(out["depth"])
+                    # 1.56 mm occupancy voxels (128^3 over 0.2 m reach): the
+                    # 3.1 mm grid of round 1 blocked deep engagements with
+                    # phantom occupied space around thin features
+                    occ_c, occ_m = occupancy.background_cloud_from_depth(
+                        jnp.asarray(np.where(m, 0.0, depth_img)), Kc,
+                        jnp.asarray(seg), -1, grid_dims=(128, 128, 128),
+                        pad=1e-3, center=jnp.asarray(pts.mean(0)), reach=0.1)
+                    occ_pts = np.asarray(occ_c)[np.asarray(occ_m)]
+                    bg = np.concatenate([xyz[bg_m], occ_pts.astype(np.float32)])
+                    if len(bg) == 0:
+                        bg = np.full((1, 3), 999.0, np.float32)
+                    elif len(bg) > 4096:
+                        bg = bg[rng.choice(len(bg), 4096, replace=False)]
 
-                # --- sample + filter grasps --------------------------------
-                key, k2 = jax.random.split(key)
-                n_sub = min(len(pts), 512)
-                ids = rng.choice(len(pts), n_sub, replace=False)
-                poses_c, valid_c, fstats = cone.sample_grasps(
-                    k2, pts[ids], nrm[ids], background_cloud=bg[:4096],
-                    background_mask=np.ones(min(len(bg), 4096), bool),
-                    cam_in_world=cam_in_base, filter_ik=True, chunk=128,
-                    adjust_depth=True)
-                cand = [np.asarray(poses_c)[np.asarray(valid_c)]]
-                mlog.event("filter", round=rnd, attempt=attempt, seg=int(sid),
-                           n_valid=int(np.asarray(valid_c).sum()),
-                           **{k: int(v) for k, v in fstats.items()})
-                if nocs_sampler is not None:
-                    poses_n, valid_n, _ = nocs_sampler.sample_grasps(
-                        nocs_pose=jnp.asarray(nocs_pose),
-                        symmetry_tfs=jnp.asarray(sym),
-                        background_cloud=bg[:4096],
+                    # --- pose estimation (oracle or net) -------------------
+                    # nocs_pose maps CENTERED NUNOCS ([-0.5,0.5]^3) -> cam
+                    if oracle:
+                        ob_in_cam = T_wc @ np.asarray(
+                            tf.pose_from_qt(state.quat[target], state.pos[target]))
+                        s = float(scale[target])
+                        mesh_idx = int(shape_id[target])
+                        T_nocs = to_nunocs_transform(meshes[mesh_idx].vertices * s)
+                        nocs_pose = (ob_in_cam @ np.linalg.inv(T_nocs)).astype(np.float32)
+                    else:
+                        res = predicters["nocs"].predict(pts, nrm)
+                        if not res["valid"]:
+                            continue
+                        nocs_pose = res["nocs_pose"].astype(np.float32)
+
+                    # --- sample + filter grasps ----------------------------
+                    key, k2 = jax.random.split(key)
+                    n_sub = min(len(pts), 512)
+                    ids = rng.choice(len(pts), n_sub, replace=False)
+                    poses_c, valid_c, fstats = cone.sample_grasps(
+                        k2, pts[ids], nrm[ids], background_cloud=bg[:4096],
                         background_mask=np.ones(min(len(bg), 4096), bool),
-                        collision_cloud=pts[ids],
-                        collision_mask=np.ones(n_sub, bool),
                         cam_in_world=cam_in_base, filter_ik=True, chunk=128,
                         adjust_depth=True)
-                    cand.append(np.asarray(poses_n)[np.asarray(valid_n)])
-                grasps_cam = (np.concatenate(cand) if any(len(c) for c in cand)
-                              else np.zeros((0, 4, 4)))
-                if len(grasps_cam):
-                    found = (m, target, pts, nrm, nocs_pose, grasps_cam)
+                    cand = [np.asarray(poses_c)[np.asarray(valid_c)]]
+                    mlog.event("filter", round=rnd, attempt=attempt, seg=int(sid),
+                               n_valid=int(np.asarray(valid_c).sum()),
+                               **{k: int(v) for k, v in fstats.items()})
+                    if nocs_sampler is not None:
+                        poses_n, valid_n, _ = nocs_sampler.sample_grasps(
+                            nocs_pose=jnp.asarray(nocs_pose),
+                            symmetry_tfs=jnp.asarray(sym),
+                            background_cloud=bg[:4096],
+                            background_mask=np.ones(min(len(bg), 4096), bool),
+                            collision_cloud=pts[ids],
+                            collision_mask=np.ones(n_sub, bool),
+                            cam_in_world=cam_in_base, filter_ik=True, chunk=128,
+                            adjust_depth=True)
+                        cand.append(np.asarray(poses_n)[np.asarray(valid_n)])
+                    grasps_cam = (np.concatenate(cand) if any(len(c) for c in cand)
+                                  else np.zeros((0, 4, 4)))
+                    if len(grasps_cam):
+                        found = (m, target, pts, nrm, nocs_pose, grasps_cam)
+                        break
+                if found is not None:
                     break
+                if learned_seg and verbose:
+                    print(f"round {rnd} attempt {attempt}: no candidates at "
+                          f"bandwidth x{bw_scale} ({len(seg_ids)} segments)")
             if found is None:
                 if verbose:
                     print(f"round {rnd} attempt {attempt}: no grasp candidates"
-                          f" on any of {len(seg_ids)} segments")
+                          f" on any segment at any bandwidth")
                 break
             m, target, pts, nrm, nocs_pose, grasps_cam = found
             if len(grasps_cam) > 128:
                 grasps_cam = grasps_cam[rng.choice(len(grasps_cam), 128, replace=False)]
 
             # --- scores -----------------------------------------------------
-            p_T_given_G = (grasp_affordance(canonical, nocs_pose, grasps_cam,
-                                            width=0.012, spec=spec)
-                           if canonical is not None and canonical["canonical_affordance"].any()
-                           else np.ones(len(grasps_cam), np.float32))
+            if canonical is not None and canonical["canonical_affordance"].any():
+                p_T_given_G = grasp_affordance(canonical, nocs_pose, grasps_cam,
+                                               width=0.012, spec=spec)
+            else:
+                # NO affordance codebook -> the run is TASK-BLIND: P(T|G)=1
+                # makes the p_T_given_G_thres gate a no-op.  Never silent.
+                if not globals().get("_WARNED_TASK_BLIND", False):
+                    globals()["_WARNED_TASK_BLIND"] = True
+                    print("WARNING: canonical has no affordance codebook — "
+                          "P(T|G) fixed at 1.0; grasp selection is TASK-BLIND "
+                          "(rebuild canonicals via pipelines.make_canonical "
+                          "with dataset/affordance/* present)")
+                p_T_given_G = np.ones(len(grasps_cam), np.float32)
             if predicters and "grasp" in predicters:
                 _, _, dist = predicters["grasp"].predict_batch(pts, nrm, grasps_cam)
                 p_G = predicters["grasp"].expected_quality(dist)

@@ -78,6 +78,16 @@ def load_predicters(artifact_dir: str = "artifacts", class_name: str = "nut",
             n = p.n_pts
             args = (jnp.zeros((n, 3)), jnp.zeros((n, 3)), jnp.zeros(3))
             template = p.model.init(jax.random.PRNGKey(0), *args)["params"]
+            # MeanShift bandwidth calibrated to THIS net's offset-noise
+            # floor (scripts/calibrate_bandwidth.py writes calib.json at
+            # export); falls back to the class table in predicter.py
+            bandwidth = None
+            calib_path = os.path.join(d, "calib.json")
+            if os.path.exists(calib_path):
+                import json
+                with open(calib_path) as f:
+                    bandwidth = json.load(f).get("bandwidth")
+                print(f"seg: calibrated MeanShift bandwidth {bandwidth}")
             out["seg"] = SegPredicter(p.model, load_params(_ckpt(d), template),
-                                      class_name, n)
+                                      class_name, n, bandwidth)
     return out

@@ -144,15 +144,22 @@ class SegPredicter:
     params: dict
     class_name: str = "nut"
     n_pts: int = 20000
+    # None -> class-table default.  Set from a calibration artifact
+    # (artifacts/<seg>/calib.json, written by scripts/export_ckpts.py from
+    # the net's val offset residual) so the bandwidth tracks the CURRENT
+    # net's noise floor instead of a hand-tuned constant; pass the
+    # reference value (predicter.py:324) explicitly for parity runs.
+    bandwidth: float | None = None
 
     @staticmethod
     def create(params, class_name: str = "nut", voxel_size: float = 0.004,
-               grid_dims=(96, 96, 48), n_pts: int = 20000):
+               grid_dims=(96, 96, 48), n_pts: int = 20000,
+               bandwidth: float | None = None):
         return SegPredicter(SegNet(voxel_size=voxel_size, grid_dims=tuple(grid_dims)),
-                            params, class_name, n_pts)
+                            params, class_name, n_pts, bandwidth)
 
     def predict(self, cloud_xyz: np.ndarray, cloud_normal: np.ndarray, rng=None,
-                key=None, n_seeds: int = 64):
+                key=None, n_seeds: int = 64, bandwidth_scale: float = 1.0):
         """-> (instance labels (N,), n_instances).  Mirrors
         ``PointGroupPredictor.predict`` (``predicter.py:317-338``): net
         offsets -> MeanShift on shifted points -> per-point labels."""
@@ -168,7 +175,8 @@ class SegPredicter:
             {"params": self.params}, xyz, nrm, origin)
         shifted = xyz + offsets
         is_obj = jax.nn.sigmoid(objectness) > 0.5
-        bw = CLUSTER_BANDWIDTH.get(self.class_name, 0.02)
+        bw = self.bandwidth or CLUSTER_BANDWIDTH.get(self.class_name, 0.02)
+        bw = float(bw) * float(bandwidth_scale)
         labels, modes, n_modes = mean_shift(shifted, bw, mask=is_obj,
                                             n_seeds=n_seeds, key=key)
         # propagate to the full cloud by nearest labeled sample (kNN k=1,

@@ -178,7 +178,15 @@ def grasp_rollout(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
                          narrowphase=narrowphase)
         return (st, w_new), None
 
-    (final, w_final), _ = jax.lax.scan(step_fn, (state, w0), jnp.arange(N_CLOSE_STEPS + N_SHAKE_STEPS))
+    # two scans so the post-close (pre-gravity) state is observable: the
+    # reference's try_grasp RESTORES to this state after its gravity
+    # stability test (``env_semantic_grasp.py:103-120``) — contacts and the
+    # attached in-hand pose come from the close phase only
+    (post_close, w_close), _ = jax.lax.scan(
+        step_fn, (state, w0), jnp.arange(N_CLOSE_STEPS))
+    (final, w_final), _ = jax.lax.scan(
+        step_fn, (post_close, w_close),
+        jnp.arange(N_CLOSE_STEPS, N_CLOSE_STEPS + N_SHAKE_STEPS))
     disp = jnp.linalg.norm(final.pos[0])
     success = (~collided) & (disp <= SUCCESS_DISP)
     ob_pose_final = tf.pose_from_qt(final.quat[0], final.pos[0])
@@ -187,6 +195,7 @@ def grasp_rollout(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
         "collided": collided,
         "width": w_final,
         "ob_pose_final": ob_pose_final,  # in-hand drift (identity at t0)
+        "ob_pose_close": tf.pose_from_qt(post_close.quat[0], post_close.pos[0]),
         "displacement": disp,
     }
 

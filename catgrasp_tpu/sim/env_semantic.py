@@ -81,10 +81,14 @@ def place_success(class_name: str, ob_pose: jnp.ndarray, place_pos: jnp.ndarray)
     return xy_ok & z_ok & axis_ok
 
 
-def _gripper_sample_points(spec: GripperSpec, width: jnp.ndarray, n_per_box: int = 32):
-    """Sample points on the gripper's three boxes at the given opening,
-    grasp frame — for gripper-vs-fixture insertion collision tests."""
+def _gripper_sample_points(spec: GripperSpec, width: jnp.ndarray, n_per_box: int = 32,
+                           n_boxes: int = 3):
+    """Sample points on the gripper's boxes at the given opening, grasp
+    frame — for gripper-vs-fixture insertion collision tests.  n_boxes=2
+    restricts to the FINGERS (the reference's insertion sweep checks
+    ``links1=finger_ids`` only, ``env_semantic_grasp.py:145``)."""
     centers, halves = finger_boxes(width, spec)
+    centers, halves = centers[:n_boxes], halves[:n_boxes]
     # deterministic low-discrepancy-ish grid on each box surface
     u = (jnp.arange(n_per_box) + 0.5) / n_per_box
     g = jnp.stack(jnp.meshgrid(u, u, u, indexing="ij"), -1).reshape(-1, 3)
@@ -107,44 +111,54 @@ def try_grasp(lib: ShapeLib, obj_shape: jnp.ndarray, fixture_shape_idx: jnp.ndar
     """
     pre_t, place_t = [jnp.asarray(t, jnp.float32) for t in TASK_POSES[class_name]]
 
-    # --- A: stability (free-space close + shake) ---------------------------
+    # --- A: stability (free-space close + gravity test) --------------------
     roll = grasp_rollout(lib, obj_shape, scale, grasp_in_ob, spec)
-    stable = roll["success"]
     width = roll["width"]
-    drift = roll["ob_pose_final"]  # object motion in the (fixed) grasp world
+    # reference ret-0 gate (``env_semantic_grasp.py:110-115``): the object
+    # FELL OUT — moved > 0.2 m from the grasp during the gravity test.
+    # (verify_grasp's 2 cm applies to perturbation scoring, not here.)
+    held = (~roll["collided"]) & (roll["displacement"] <= 0.2)
+    # ...then the reference RESTORES the pre-gravity state
+    # (``p.restoreState(tmp_id)``): contacts, the attached in-hand pose,
+    # and everything downstream use the post-CLOSE drift only
+    drift = roll["ob_pose_close"]
 
-    # contacts on the affordance point set at the final width
+    # contact extraction at the restored post-close state
+    # (``get_grasp_contact_area``, surface_tol=0.002, n_side>=2 required:
+    # ``env_semantic_grasp.py:122-124``)
     T_ginv = tf.pose_inverse(grasp_in_ob)
-    # post-shake object pose relative to grasp frame
     pts_ob = aff_pts * scale
     pts_w = tf.transform_points(drift, pts_ob)
     pts_g = tf.transform_points(T_ginv, pts_w)
     m_pos, m_neg = finger_contact_points(pts_g, width, spec, surface_tol=0.003)
+    stable = held & jnp.any(m_pos) & jnp.any(m_neg)
     contact_mask = (m_pos | m_neg) & stable
 
     # --- B: insertion sweep -------------------------------------------------
-    # object pose path: the ACTUAL held pose (pre pose + in-hand drift) is
-    # interpolated to the exact place pose, like the reference's kinematic
-    # insert along ``interpolate_poses_matrix`` waypoints
-    # (``env_semantic_grasp.py:76-179``) — so tilted-hold task failures are
-    # visible to the affordance labels, not masked by an identity sweep
+    # The GRIPPER translates pre->place; the object rides rigidly at its
+    # drifted in-hand pose the whole way (a kinematic insert cannot re-seat
+    # the part in the hand), like the reference's attachment-following
+    # ``interpolate_poses_matrix`` sweep (``env_semantic_grasp.py:76-179``).
+    # So every waypoint — including the final held pose the drop starts
+    # from — is ``translate(t) @ drift``; tilted holds stay tilted.
     alphas = jnp.linspace(0.0, 1.0, n_waypoints)
     held0 = tf.pose_from_rt(jnp.eye(3), pre_t) @ drift
-    place_pose = tf.pose_from_rt(jnp.eye(3), place_t)
-    ob_pose_path = tf.interpolate_poses(held0, place_pose, alphas)
+    held1 = tf.pose_from_rt(jnp.eye(3), place_t) @ drift
+    ob_pose_path = tf.interpolate_poses(held0, held1, alphas)
 
     fixture_csg = csglib.select_shape(lib.csg, fixture_shape_idx)
-    grip_pts_g = _gripper_sample_points(spec, width)
+    # FINGERS ONLY: the reference's sweep checks finger links vs the
+    # fixture (``any_link_pair_collision(links1=finger_ids)``,
+    # ``env_semantic_grasp.py:145``); the held OBJECT is free to brush the
+    # fixture during the kinematic insert — physics resolves that at drop
+    grip_pts_g = _gripper_sample_points(spec, width, n_boxes=2)
 
     def waypoint_collides(ob_pose):
         # grasp pose in fixture frame when holding the (drifted) object here
         grasp_w = ob_pose @ tf.pose_inverse(drift) @ grasp_in_ob
         gp_w = tf.transform_points(grasp_w, grip_pts_g)
         d_grip = csglib.csg_sdf(fixture_csg, gp_w)
-        # object points vs fixture (hole alignment)
-        op_w = tf.transform_points(ob_pose, pts_ob)
-        d_ob = csglib.csg_sdf(fixture_csg, op_w)
-        return (jnp.min(d_grip) < 5e-4) | (jnp.min(d_ob) < -1e-3)
+        return jnp.min(d_grip) < 5e-4
 
     blocked = jnp.any(jax.vmap(waypoint_collides)(ob_pose_path))
 
@@ -159,8 +173,12 @@ def try_grasp(lib: ShapeLib, obj_shape: jnp.ndarray, fixture_shape_idx: jnp.ndar
         # lateralFriction=0.1, env_semantic_grasp.py:53)
         friction=params.friction.at[1].set(0.1),
     )
+    # the drop starts from the ACTUAL held pose after insertion (drifted),
+    # matching the reference's open-then-drop of the attached object — NOT
+    # from an idealized seated identity pose
     st = SceneState.create(2).replace(
-        pos=jnp.stack([place_t, jnp.zeros(3)]),
+        pos=jnp.stack([held1[:3, 3], jnp.zeros(3)]),
+        quat=jnp.stack([tf.matrix_to_quat(held1[:3, :3]), tf.quat_identity()]),
         active=jnp.array([True, True]),
     )
     no_env = engine.StaticEnv.boxes(
@@ -186,21 +204,23 @@ def place_and_drop(lib: ShapeLib, obj_shape: jnp.ndarray,
     pick already verified the hold physically in the pile.  Returns a bool.
     """
     pre_t, place_t = [jnp.asarray(t, jnp.float32) for t in TASK_POSES[class_name]]
-    pts_ob = lib.surf_pts[obj_shape] * scale
 
     alphas = jnp.linspace(0.0, 1.0, n_waypoints)
     ob_pos_path = pre_t[None] * (1 - alphas[:, None]) + place_t[None] * alphas[:, None]
     fixture_csg = csglib.select_shape(lib.csg, fixture_shape_idx)
-    grip_pts_g = _gripper_sample_points(spec, width)
+    # ALL three gripper boxes here (incl. palm): unlike try_grasp's
+    # label-generation sweep (reference-parity fingers-only), this is the
+    # closed-loop execution fallback — the reference's analog is full arm
+    # motion with planner collision checking, so the conservative gate is
+    # the faithful one
+    grip_pts_g = _gripper_sample_points(spec, width, n_boxes=3)
 
     def waypoint_collides(ob_pos):
         ob_pose = jnp.eye(4).at[:3, 3].set(ob_pos)
         grasp_w = ob_pose @ grasp_in_ob
         gp_w = tf.transform_points(grasp_w, grip_pts_g)
         d_grip = csglib.csg_sdf(fixture_csg, gp_w)
-        op_w = tf.transform_points(ob_pose, pts_ob)
-        d_ob = csglib.csg_sdf(fixture_csg, op_w)
-        return (jnp.min(d_grip) < 5e-4) | (jnp.min(d_ob) < -1e-3)
+        return jnp.min(d_grip) < 5e-4
 
     blocked = jnp.any(jax.vmap(waypoint_collides)(ob_pos_path))
 
@@ -237,5 +257,8 @@ def accumulate_affordance(rets: np.ndarray, contact_masks: np.ndarray,
     task = rets == 2
     n_stable = (contact_masks & stable[:, None]).sum(axis=0)
     n_task = (contact_masks & task[:, None]).sum(axis=0)
-    aff = np.where(n_stable >= min_trials, n_task / np.maximum(n_stable, 1), 0.0)
+    # under-sampled points are NEUTRAL 0.5, not bad (reference:
+    # ``ob_pts_score[pts_grasp_success<min_valid_trial] = 0.5``,
+    # ``env_semantic_grasp.py:291``)
+    aff = np.where(n_stable >= min_trials, n_task / np.maximum(n_stable, 1), 0.5)
     return aff.astype(np.float32), n_stable

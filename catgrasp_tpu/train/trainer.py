@@ -159,12 +159,25 @@ class Trainer:
                             print(f"epoch {epoch} it {i} loss {float(loss):.4f}",
                                   flush=True)
                         drain()
-                        save_checkpoint(f"{self.ckpt_dir}/last.ckpt", state, epoch)
-                        if (max_seconds is not None
-                                and _time.monotonic() - t_start > max_seconds):
-                            expired = True
-                            break
+                        # periodic last.ckpt only under a wall-clock bound:
+                        # each save is a full params+opt readback (tens of
+                        # MB) that an unbounded run doesn't need every 50
+                        # steps
+                        if max_seconds is not None:
+                            save_checkpoint(f"{self.ckpt_dir}/last.ckpt", state, epoch)
+                            if _time.monotonic() - t_start > max_seconds:
+                                expired = True
+                                break
             drain()
+            # once-per-epoch resume point for unbounded runs (the frequent
+            # in-loop save above only runs under a wall-clock bound)
+            save_checkpoint(f"{self.ckpt_dir}/last.ckpt", state, epoch)
+            # epoch-boundary deadline check: an epoch with < log_every
+            # batches never reaches the in-loop check, which silently
+            # ignored the bound on small datasets (advisor r2, medium)
+            if (max_seconds is not None and not expired
+                    and _time.monotonic() - t_start > max_seconds):
+                expired = True
             train_loss = loss_sum / loss_n if loss_n else float("inf")
             rec = {"epoch": epoch, "train_loss": train_loss}
             if train_loss < self.best_train:
@@ -224,6 +237,11 @@ def read_checkpoint_blob(path: str) -> dict:
 
 def load_checkpoint(path: str, state: TrainState) -> tuple[TrainState, int]:
     blob = read_checkpoint_blob(path)
+    if "opt_state" not in blob:
+        raise ValueError(
+            f"{path} is a params-only eval checkpoint (no opt_state) — it "
+            "cannot seed --resume; resume from artifacts/<net>/last.ckpt or "
+            "load it for inference via load_params")
     params = serialization.from_bytes(state.params, blob["params"])
     opt_state = serialization.from_bytes(state.opt_state, blob["opt_state"])
     state = state.replace(params=params, opt_state=opt_state, step=blob["step"])

@@ -46,6 +46,11 @@ def main():
         with open(out, "wb") as f:
             f.write(serialization.msgpack_serialize(slim))
         print(f"{net}: {src} -> {out} ({os.path.getsize(out)/1e6:.1f} MB)")
+        calib = os.path.join(src_dir, "calib.json")
+        if os.path.exists(calib):
+            import shutil
+            shutil.copy(calib, os.path.join(args.dst, net, "calib.json"))
+            print(f"{net}: copied calib.json")
 
 
 if __name__ == "__main__":
