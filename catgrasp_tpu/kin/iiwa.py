@@ -241,8 +241,11 @@ def ik_feasible(Ts: jnp.ndarray, n_psi: int = N_PSI,
     VPU mul/add), giving O(n_psi) scalars per pose instead of O(n_psi)
     3x3 temporaries.  At the exact shoulder/wrist singularity (b≈0) the
     composite spin always splits within the ±170°(+±175°) limits, so the
-    gate accepts — slightly more complete than :func:`ik`'s conservative
-    fold of the spin into joint 1.
+    gate accepts — in principle slightly more complete than :func:`ik`'s
+    conservative fold of the spin into joint 1, but measured agreement is
+    EXACT: 0 disagreements in either direction over 12,288 sampled poses
+    (6,144 FK-reachable + 6,144 workspace mix), see
+    ``tests/test_ik_consistency.py``.
     """
     R = Ts[..., :3, :3]
     p = Ts[..., :3, 3]

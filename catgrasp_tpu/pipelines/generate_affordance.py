@@ -83,11 +83,14 @@ def main():
     ap.add_argument("--out_dir", default="dataset/affordance")
     ap.add_argument("--max_grasps", type=int, default=100_000)
     ap.add_argument("--min_trials", type=int, default=10)
+    ap.add_argument("--chunk", type=int, default=256,
+                    help="grasps per device dispatch (larger = better TPU occupancy)")
     args = ap.parse_args()
 
     db = dict(np.load(args.grasp_db))
     out = generate_affordance(args.class_name, args.split, args.index, db,
-                              max_grasps=args.max_grasps, min_trials=args.min_trials)
+                              max_grasps=args.max_grasps, min_trials=args.min_trials,
+                              chunk=args.chunk)
     os.makedirs(args.out_dir, exist_ok=True)
     path = f"{args.out_dir}/{args.class_name}_{args.split}_{args.index}_affordance.npz"
     np.savez_compressed(path, **out)
