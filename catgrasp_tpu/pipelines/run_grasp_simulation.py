@@ -59,7 +59,7 @@ FIXTURE_POS = np.array([-0.10, -0.50, 0.0], np.float32)  # world, beside bin,
 
 def execute_pick(lib, state: SceneState, params: SceneParams, env_bin,
                  target: int, grasp_in_world: jnp.ndarray,
-                 spec: GripperSpec = GripperSpec()):
+                 spec: GripperSpec = GripperSpec(), narrowphase: str = "csg"):
     """Close on the target inside the pile, hold-test under gravity, then
     lift.  Returns (picked bool, final_state, in-hand pose of target rel.
     grasp, final width).
@@ -96,7 +96,8 @@ def execute_pick(lib, state: SceneState, params: SceneParams, env_bin,
             friction=jnp.concatenate([env_bin.friction, genv.friction]),
             enabled=jnp.concatenate([env_bin.enabled, genv.enabled]),
         )
-        st = engine.step(st, params, lib, merged, dt=dt, gravity=-9.8)
+        st = engine.step(st, params, lib, merged, dt=dt, gravity=-9.8,
+                         narrowphase=narrowphase)
         keep = (st.pos[target], st.quat[target])
         return (st, w_new), keep
 
@@ -125,7 +126,7 @@ def execute_pick(lib, state: SceneState, params: SceneParams, env_bin,
 
 # module-scope jit wrapper: one persistent trace cache serves every
 # target/attempt (target is a traced dynamic index)
-_execute_pick_jit = jax.jit(execute_pick, static_argnames=("spec",))
+_execute_pick_jit = jax.jit(execute_pick, static_argnames=("spec", "narrowphase"))
 
 
 def _trans(t) -> np.ndarray:
@@ -136,7 +137,7 @@ def _trans(t) -> np.ndarray:
 
 def _place_with_arm(lib, state, params, env_bin, target, ob_in_grasp, width,
                     q_cur, base_in_world, gripper, T_fix, class_name, sym,
-                    obs_base, seed, spec, verbose):
+                    obs_base, seed, spec, verbose, narrowphase="csg"):
     """Arm-executed place_action (reference ``run_grasp_simulation.py:375-463``):
     symmetry loop for an IK-feasible place orientation, RRT transport from the
     post-lift config to pre-place, Cartesian insertion descent, open fingers,
@@ -185,7 +186,8 @@ def _place_with_arm(lib, state, params, env_bin, target, ob_in_grasp, width,
         lib, state, params, env_bin, jnp.int32(target), jnp.asarray(sched),
         jnp.asarray(base_in_world), jnp.asarray(ee_in_grasp),
         jnp.asarray(np.asarray(ob_in_grasp, np.float32)),
-        jnp.asarray(width), spec, n_move=N_MOVE_P, n_drop=N_DROP_P)
+        jnp.asarray(width), spec, n_move=N_MOVE_P, n_drop=N_DROP_P,
+        narrowphase=narrowphase)
     ob_in_fix = np.linalg.inv(T_fix) @ np.asarray(ob_pose_final)
     placed = bool(es.place_success(class_name, jnp.asarray(ob_in_fix),
                                    jnp.asarray(place_t, jnp.float32)))
@@ -251,7 +253,8 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                           max_attempts_per_round: int = 8,
                           render_hw=(384, 512), verbose: bool = True,
                           metrics_path: str | None = None, use_arm: bool = True,
-                          arm_exec: bool = True, instance: int | None = None):
+                          arm_exec: bool = True, instance: int | None = None,
+                          obj_path: str | None = None):
     from ..utils.metrics import MetricsLogger
 
     mlog = MetricsLogger(metrics_path, run="eval", class_name=class_name,
@@ -271,17 +274,35 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
     # (harder; fixture falls back to category defaults).
     if instance is None:
         instance = int(cfg_run.get("instance_index", 0))
-    fix_params = (prim.instance_params(class_name, split, instance)
-                  if instance >= 0 else None)
-    meshes = [prim.make_instance(class_name, split, i) for i in range(n_inst)]
-    csgs = [csglib.make_csg_instance(class_name, split, i) for i in range(n_inst)]
-    meshes.append(prim.place_fixture(class_name, fix_params))
-    csgs.append(csglib.csg_place_fixture(class_name, fix_params))
-    # 256 surface pts/body: the peg-through-nut-hole interaction needs
-    # <3 mm point spacing on thin features or the slide down the peg
-    # tunnels laterally through the nut wall (the pick phases work at 64,
-    # but threading fidelity sets the task-success ceiling)
-    lib = build_shape_lib(meshes, csgs, n_surf=256)
+    if obj_path:
+        # arbitrary-mesh path (reference: scanned ``data/object_models``
+        # assets, README.md:68-75): bake SDF grids for physics AND
+        # rendering; the mesh needs no CSG tree (a bbox placeholder keeps
+        # the stacked-shape layout).  The fixture stays the category's
+        # procedural one (the reference ships a ``_place.obj`` per model).
+        from ..geom.mesh import TriMesh
+        m = TriMesh.load_obj(obj_path)
+        b = m.bounds
+        n_inst, instance = 1, 0
+        fix_params = None
+        meshes = [m, prim.place_fixture(class_name, None)]
+        csgs = [csglib.csg_box(b[1] - b[0], center=(b[1] + b[0]) / 2),
+                csglib.csg_place_fixture(class_name, None)]
+        lib = build_shape_lib(meshes, csgs, n_surf=256, bake_grids=True, dims=56)
+        geom = "grid"
+    else:
+        fix_params = (prim.instance_params(class_name, split, instance)
+                      if instance >= 0 else None)
+        meshes = [prim.make_instance(class_name, split, i) for i in range(n_inst)]
+        csgs = [csglib.make_csg_instance(class_name, split, i) for i in range(n_inst)]
+        meshes.append(prim.place_fixture(class_name, fix_params))
+        csgs.append(csglib.csg_place_fixture(class_name, fix_params))
+        # 256 surface pts/body: the peg-through-nut-hole interaction needs
+        # <3 mm point spacing on thin features or the slide down the peg
+        # tunnels laterally through the nut wall (the pick phases work at 64,
+        # but threading fidelity sets the task-success ceiling)
+        lib = build_shape_lib(meshes, csgs, n_surf=256)
+        geom = "csg"
     fixture_idx = len(meshes) - 1
 
     pile_cfg = env_pile.PileConfig(max_bodies=n_objects, scale_range=(0.9, 1.1))
@@ -373,14 +394,16 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
         state = add_fixture_body(
             state_p.replace(active=jnp.ones(n_objects, bool)))
         state = keep_fixture(
-            env_pile.settle_fixed(state, params, lib, env_bin, pile_cfg, 500))
+            env_pile.settle_fixed(state, params, lib, env_bin, pile_cfg, 500,
+                                  narrowphase=geom))
         counters.num_objects += int(np.asarray(state.active)[:n_objects].sum())
 
         for attempt in range(max_attempts_per_round):
             active = np.asarray(state.active)[:n_objects]
             if not active.any():
                 break
-            out = raymarch.render(lib, state, params, Kc, cam_j, H, W, env=env_bin)
+            out = raymarch.render(lib, state, params, Kc, cam_j, H, W,
+                                  env=env_bin, geometry=geom)
             seg_body = np.asarray(out["seg"])  # ground-truth body ids
             xyz = np.asarray(out["xyz"])
             normal = np.asarray(out["normal"])
@@ -644,7 +667,8 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                         lib, state, params, env_bin, jnp.int32(target),
                         jnp.asarray(sched), jnp.asarray(base_in_world),
                         jnp.asarray(gripper.ee_in_grasp), spec,
-                        n_app=N_APP, n_close=CLOSE_STEPS, n_hold=LIFT_STEPS)
+                        n_app=N_APP, n_close=CLOSE_STEPS, n_hold=LIFT_STEPS,
+                        narrowphase=geom)
                 disturb = float(disturb)
                 q_after_pick = sched[-1]
             else:
@@ -652,7 +676,8 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                 # target is traced (dynamic index) — one compile serves every
                 # target/attempt instead of one per pile slot
                 picked, state_after, ob_in_grasp, w_f = _execute_pick_jit(
-                    lib, state, params, env_bin, jnp.int32(target), grasp_world, spec)
+                    lib, state, params, env_bin, jnp.int32(target), grasp_world,
+                    spec, geom)
                 q_after_pick = None
             picked = bool(picked)
             if picked:
@@ -662,7 +687,7 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                         lib, state_after, params, env_bin, target,
                         np.asarray(ob_in_grasp), w_f, q_after_pick,
                         base_in_world, gripper, T_fix, class_name, sym,
-                        obs_base, seed, spec, verbose)
+                        obs_base, seed, spec, verbose, narrowphase=geom)
                 else:
                     # fixture-world place (floating baseline): the grasp pose
                     # in the object frame reflects any in-hand slip from the
@@ -670,7 +695,8 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                     grasp_in_ob = tf.pose_inverse(jnp.asarray(ob_in_grasp))
                     placed = bool(es.place_and_drop(
                         lib, shape_id[target], jnp.int32(fixture_idx),
-                        scale[target], grasp_in_ob, class_name, w_f, spec))
+                        scale[target], grasp_in_ob, class_name, w_f, spec,
+                        narrowphase=geom))
                 mlog.event("place", round=rnd, attempt=attempt, placed=placed,
                            slip=float(np.linalg.norm(
                                np.asarray(ob_in_grasp)[:3, 3] - [0.02, 0, 0])))
@@ -682,7 +708,8 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
             state = state_after.replace(
                 active=state_after.active.at[target].set(~jnp.bool_(picked)))
             state = keep_fixture(
-                env_pile.settle_fixed(state, params, lib, env_bin, pile_cfg, 150))
+                env_pile.settle_fixed(state, params, lib, env_bin, pile_cfg, 150,
+                                      narrowphase=geom))
             mlog.event("attempt", round=rnd, attempt=attempt, target=target,
                        n_candidates=len(grasps_cam), picked=picked,
                        placed=bool(picked and placed),
@@ -721,6 +748,10 @@ def main():
                          "(reference ob_name protocol; default from "
                          "config_run.yml instance_index; -1 = mixed "
                          "instances at jittered scales)")
+    ap.add_argument("--obj_path", default=None,
+                    help="external watertight .obj to evaluate instead of the "
+                         "procedural instances (baked-SDF physics + grid "
+                         "raymarch; the reference's data/object_models path)")
     args = ap.parse_args()
 
     cfg_run = load_config("config_run.yml")
@@ -737,7 +768,7 @@ def main():
                               seed=args.seed, metrics_path=args.metrics,
                               use_arm=bool(args.use_arm),
                               arm_exec=bool(args.arm_exec),
-                              instance=args.instance)
+                              instance=args.instance, obj_path=args.obj_path)
     print(f"num_objects={c.num_objects} num_attempts={c.num_attempts} "
           f"num_stable_grasp={c.num_stable_grasp} "
           f"num_task_grasp_succ={c.num_task_grasp_succ}")

@@ -24,6 +24,7 @@ import numpy as np
 
 from ..core import transforms as tf
 from ..geom import csg as csglib
+from ..geom import sdf as sdflib
 from ..sim.engine import StaticEnv, box_sdf_and_normal
 from ..sim.types import SceneParams, SceneState, ShapeLib
 
@@ -47,6 +48,29 @@ def _scene_sdf(lib: ShapeLib, state: SceneState, params: SceneParams,
     return jnp.where(state.active, phi, 1e9), loc
 
 
+def _scene_sdf_grid(lib: ShapeLib, state: SceneState, params: SceneParams,
+                    x: jnp.ndarray):
+    """Baked-grid variant of :func:`_scene_sdf` — trilinear lookups into
+    ``lib.sdf_values`` instead of analytic CSG, so arbitrary watertight
+    meshes (``TriMesh.load_obj`` + ``bake_sdf``) render without a CSG tree.
+    The reference renders scanned meshes through TinyRenderer
+    (``camera.py:35-45``); this is the closed-loop path for external
+    ``.obj`` assets (``--obj_path``)."""
+    R = tf.quat_to_matrix(state.quat)
+    rel = x[..., None, :] - state.pos
+    loc = jnp.einsum("bji,...bj->...bi", R, rel) / params.scale[:, None]
+
+    def per_body(shape_id, scale, pts):
+        phi = sdflib.query(lib.sdf_values[shape_id], lib.sdf_lower[shape_id],
+                           lib.sdf_spacing[shape_id], pts)
+        return phi * scale
+
+    phi = jax.vmap(per_body, in_axes=(0, 0, -2), out_axes=-1)(
+        params.shape_id, params.scale, loc
+    )
+    return jnp.where(state.active, phi, 1e9), loc
+
+
 def _env_sdf(env: StaticEnv, x: jnp.ndarray) -> jnp.ndarray:
     Rm = tf.quat_to_matrix(env.quat)
     rel = x[..., None, :] - env.center
@@ -56,17 +80,22 @@ def _env_sdf(env: StaticEnv, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.min(d, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("H", "W", "n_steps", "with_env"))
+@partial(jax.jit, static_argnames=("H", "W", "n_steps", "with_env", "geometry"))
 def render(lib: ShapeLib, state: SceneState, params: SceneParams,
            K: jnp.ndarray, cam_in_world: jnp.ndarray, H: int, W: int,
            env: StaticEnv | None = None, zfar: float = 3.0,
-           n_steps: int = 64, with_env: bool = True):
+           n_steps: int = 64, with_env: bool = True, geometry: str = "csg"):
     """Render one scene -> dict of (H, W[, C]) images:
     depth (z in cam frame, 0 = invalid), seg (int32: body index, -2 env,
     -1 background), nocs (NUNOCS coords in [0,1], 0 outside objects),
     normal (cam frame, oriented toward the camera), xyz (cam frame).
     vmap over scenes for batches.
+
+    ``geometry="grid"`` marches the baked SDF grids (``lib.sdf_values``;
+    build the lib with ``bake_grids=True``) instead of analytic CSG — the
+    arbitrary-mesh path for external ``.obj`` assets.
     """
+    scene_sdf = _scene_sdf_grid if geometry == "grid" else _scene_sdf
     # pixel rays in world frame
     vs = jnp.arange(H, dtype=jnp.float32)[:, None]
     us = jnp.arange(W, dtype=jnp.float32)[None, :]
@@ -86,7 +115,7 @@ def render(lib: ShapeLib, state: SceneState, params: SceneParams,
     def march(carry, _):
         t, done = carry
         x = o_w + t[:, None] * d_w
-        phi_b, _ = _scene_sdf(lib, state, params, x)
+        phi_b, _ = scene_sdf(lib, state, params, x)
         phi = jnp.min(phi_b, axis=-1)
         if with_env and env is not None:
             phi = jnp.minimum(phi, _env_sdf(env, x))
@@ -98,7 +127,7 @@ def render(lib: ShapeLib, state: SceneState, params: SceneParams,
     (t, _), _ = jax.lax.scan(march, (jnp.full((P,), t0), jnp.zeros((P,), bool)), None, length=n_steps)
 
     x = o_w + t[:, None] * d_w
-    phi_b, loc = _scene_sdf(lib, state, params, x)
+    phi_b, loc = scene_sdf(lib, state, params, x)
     phi_min = jnp.min(phi_b, axis=-1)
     body = jnp.argmin(phi_b, axis=-1)
     phi_env = _env_sdf(env, x) if (with_env and env is not None) else jnp.full((P,), 1e9)
@@ -122,10 +151,17 @@ def render(lib: ShapeLib, state: SceneState, params: SceneParams,
     # selected per pixel — one vectorized VPU pass instead of a serialized
     # lax.map over pixel chunks; the redundant non-winning-body work is
     # ~1/n_steps of the march cost
-    def per_body_normal(shape_id, pts_loc):
-        shape = csglib.select_shape(lib.csg, shape_id)
-        _, n = csglib.csg_sdf_and_normal(shape, pts_loc)
-        return n  # body-local frame
+    if geometry == "grid":
+        def per_body_normal(shape_id, pts_loc):
+            _, n = sdflib.query_and_grad(
+                lib.sdf_values[shape_id], lib.sdf_lower[shape_id],
+                lib.sdf_spacing[shape_id], pts_loc)
+            return n  # body-local frame
+    else:
+        def per_body_normal(shape_id, pts_loc):
+            shape = csglib.select_shape(lib.csg, shape_id)
+            _, n = csglib.csg_sdf_and_normal(shape, pts_loc)
+            return n  # body-local frame
 
     n_loc = jax.vmap(per_body_normal, in_axes=(0, -2), out_axes=-2)(
         params.shape_id, loc)  # (P, N, 3)

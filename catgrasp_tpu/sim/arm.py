@@ -109,12 +109,13 @@ def resample_traj(waypoints: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-@partial(jax.jit, static_argnames=("spec", "n_app", "n_close", "n_hold"))
+@partial(jax.jit, static_argnames=("spec", "n_app", "n_close", "n_hold", "narrowphase"))
 def execute_pick_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
                      env_bin: engine.StaticEnv, target: jnp.ndarray,
                      qs: jnp.ndarray, base_in_world: jnp.ndarray,
                      ee_in_grasp: jnp.ndarray, spec: GripperSpec = GripperSpec(),
-                     n_app: int = 160, n_close: int = 50, n_hold: int = 80):
+                     n_app: int = 160, n_close: int = 50, n_hold: int = 80,
+                     narrowphase: str = "csg"):
     """Arm-executed pick: approach along ``qs[:n_app]`` (RRT + descent,
     resampled), close, gravity-hold gate, then lift along ``qs[n_app+...:]``
     with the verified object attached (``create_attachment`` semantics,
@@ -161,7 +162,8 @@ def execute_pick_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
         genv = gripper_env(G_t, w_new, dv / dt, spec)
         aenv = arm_env(q, q_prev, base_in_world, dt)
         merged = merge_envs(env_bin, genv, aenv)
-        st = engine.step(st, params, lib, merged, dt=dt, gravity=-9.8)
+        st = engine.step(st, params, lib, merged, dt=dt, gravity=-9.8,
+                         narrowphase=narrowphase)
 
         # attachment during lift: the held object rides the gripper frame;
         # its kinematic ride velocity is kept in the state so bystander
@@ -209,13 +211,14 @@ def execute_pick_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
     return picked, final, ob_in_grasp, w_f, disturb
 
 
-@partial(jax.jit, static_argnames=("spec", "n_move", "n_drop"))
+@partial(jax.jit, static_argnames=("spec", "n_move", "n_drop", "narrowphase"))
 def execute_place_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
                       env_bin: engine.StaticEnv, target: jnp.ndarray,
                       qs: jnp.ndarray, base_in_world: jnp.ndarray,
                       ee_in_grasp: jnp.ndarray, ob_in_grasp: jnp.ndarray,
                       width: jnp.ndarray, spec: GripperSpec = GripperSpec(),
-                      n_move: int = 160, n_drop: int = 100):
+                      n_move: int = 160, n_drop: int = 100,
+                      narrowphase: str = "csg"):
     """Arm-executed place: transport the attached object along ``qs[:n_move]``
     (RRT to pre-place + Cartesian insertion descent), then hold the arm at
     the final config, open the fingers, and let the object drop under
@@ -257,7 +260,8 @@ def execute_place_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
         genv = genv.replace(enabled=genv.enabled & attached)
         aenv = arm_env(q, q_prev, base_in_world, dt)
         merged = merge_envs(env_bin, genv, aenv)
-        st = engine.step(st, params, lib, merged, dt=dt, gravity=-9.8)
+        st = engine.step(st, params, lib, merged, dt=dt, gravity=-9.8,
+                         narrowphase=narrowphase)
 
         # attached during transport and until the fingers clear contact
         ob_pose_att = G_t @ ob_in_grasp

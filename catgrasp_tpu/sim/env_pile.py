@@ -77,19 +77,20 @@ def _cull_out_of_bin(state: SceneState, cfg: PileConfig) -> SceneState:
     return state.replace(active=state.active & inside)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "narrowphase"))
 def step(state: SceneState, params: SceneParams, lib: ShapeLib,
-         env: engine.StaticEnv, cfg: PileConfig) -> SceneState:
+         env: engine.StaticEnv, cfg: PileConfig,
+         narrowphase: str = "csg") -> SceneState:
     """One env step — the ``p.stepSimulation`` unit of the reference's
     ``Env`` (``env_base.py``/``env.py``): one physics step plus out-of-bin
     culling.  Pure function of the state pytree: vmap over scenes, jit, or
     scan for rollouts."""
-    st = engine.step(state, params, lib, env, dt=cfg.dt)
+    st = engine.step(state, params, lib, env, dt=cfg.dt, narrowphase=narrowphase)
     return _cull_out_of_bin(st, cfg)
 
 
 def settle(state: SceneState, params: SceneParams, lib: ShapeLib,
-           env: engine.StaticEnv, cfg: PileConfig):
+           env: engine.StaticEnv, cfg: PileConfig, narrowphase: str = "csg"):
     """Step in chunks until max body motion per chunk < threshold, with an
     iteration cap; returns (state, n_chunks_used).  The reference's
     ``simulation_until_stable`` with its 50-step motion-accumulation loop."""
@@ -100,7 +101,8 @@ def settle(state: SceneState, params: SceneParams, lib: ShapeLib,
 
     def body(carry):
         st, prev, i, _ = carry
-        st = engine.rollout(st, params, lib, env, cfg.settle_chunk, dt=cfg.dt)
+        st = engine.rollout(st, params, lib, env, cfg.settle_chunk, dt=cfg.dt,
+                            narrowphase=narrowphase)
         st = _cull_out_of_bin(st, cfg)
         motion = engine.max_body_motion(prev, st)
         return st, st, i + 1, motion < cfg.stable_motion
@@ -110,11 +112,13 @@ def settle(state: SceneState, params: SceneParams, lib: ShapeLib,
 
 
 def settle_fixed(state: SceneState, params: SceneParams, lib: ShapeLib,
-                 env: engine.StaticEnv, cfg: PileConfig, n_steps: int):
+                 env: engine.StaticEnv, cfg: PileConfig, n_steps: int,
+                 narrowphase: str = "csg"):
     """Fixed-step settle (fully batched — no data-dependent trip count), for
     throughput paths and cross-scene vmap where while_loop trip counts would
     diverge."""
-    st = engine.rollout(state, params, lib, env, n_steps, dt=cfg.dt)
+    st = engine.rollout(state, params, lib, env, n_steps, dt=cfg.dt,
+                        narrowphase=narrowphase)
     return _cull_out_of_bin(st, cfg)
 
 

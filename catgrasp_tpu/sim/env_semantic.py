@@ -97,11 +97,12 @@ def _gripper_sample_points(spec: GripperSpec, width: jnp.ndarray, n_per_box: int
     return pts.reshape(-1, 3)  # (3*n_per_box, 3)
 
 
-@partial(jax.jit, static_argnames=("class_name", "spec", "n_waypoints", "drop_steps"))
+@partial(jax.jit, static_argnames=("class_name", "spec", "n_waypoints", "drop_steps", "narrowphase"))
 def try_grasp(lib: ShapeLib, obj_shape: jnp.ndarray, fixture_shape_idx: jnp.ndarray,
               scale: jnp.ndarray, grasp_in_ob: jnp.ndarray, class_name: str,
               aff_pts: jnp.ndarray, spec: GripperSpec = GripperSpec(),
-              n_waypoints: int = 8, drop_steps: int = 60):
+              n_waypoints: int = 8, drop_steps: int = 60,
+              narrowphase: str = "csg"):
     """One grasp -> (ret in {0,1,2}, contact mask over aff_pts (P,)).
 
     ``lib`` must contain both the object shape (index ``obj_shape``) and the
@@ -112,7 +113,8 @@ def try_grasp(lib: ShapeLib, obj_shape: jnp.ndarray, fixture_shape_idx: jnp.ndar
     pre_t, place_t = [jnp.asarray(t, jnp.float32) for t in TASK_POSES[class_name]]
 
     # --- A: stability (free-space close + gravity test) --------------------
-    roll = grasp_rollout(lib, obj_shape, scale, grasp_in_ob, spec)
+    roll = grasp_rollout(lib, obj_shape, scale, grasp_in_ob, spec,
+                         narrowphase=narrowphase)
     width = roll["width"]
     # reference ret-0 gate (``env_semantic_grasp.py:110-115``): the object
     # FELL OUT — moved > 0.2 m from the grasp during the gravity test.
@@ -183,7 +185,8 @@ def try_grasp(lib: ShapeLib, obj_shape: jnp.ndarray, fixture_shape_idx: jnp.ndar
     )
     no_env = engine.StaticEnv.boxes(
         jnp.array([[0.0, 0.0, -0.05]]), jnp.array([[0.5, 0.5, 0.05]]))  # floor
-    final = engine.rollout(st, params, lib, no_env, drop_steps, gravity=-9.8)
+    final = engine.rollout(st, params, lib, no_env, drop_steps, gravity=-9.8,
+                           narrowphase=narrowphase)
     ob_pose_final = tf.pose_from_qt(final.quat[0], final.pos[0])
     placed = place_success(class_name, ob_pose_final, place_t)
 
@@ -191,12 +194,13 @@ def try_grasp(lib: ShapeLib, obj_shape: jnp.ndarray, fixture_shape_idx: jnp.ndar
     return ret, contact_mask
 
 
-@partial(jax.jit, static_argnames=("class_name", "spec", "n_waypoints", "drop_steps"))
+@partial(jax.jit, static_argnames=("class_name", "spec", "n_waypoints", "drop_steps", "narrowphase"))
 def place_and_drop(lib: ShapeLib, obj_shape: jnp.ndarray,
                    fixture_shape_idx: jnp.ndarray, scale: jnp.ndarray,
                    grasp_in_ob: jnp.ndarray, class_name: str,
                    width: jnp.ndarray, spec: GripperSpec = GripperSpec(),
-                   n_waypoints: int = 8, drop_steps: int = 60) -> jnp.ndarray:
+                   n_waypoints: int = 8, drop_steps: int = 60,
+                   narrowphase: str = "csg") -> jnp.ndarray:
     """The closed-loop ``place_action`` (``run_grasp_simulation.py:375-463``):
     insert an ALREADY-HELD object along pre->place waypoints (gripper +
     object vs fixture collision sweep), open, drop, class placement check.
@@ -240,7 +244,8 @@ def place_and_drop(lib: ShapeLib, obj_shape: jnp.ndarray,
     )
     no_env = engine.StaticEnv.boxes(
         jnp.array([[0.0, 0.0, -0.05]]), jnp.array([[0.5, 0.5, 0.05]]))
-    final = engine.rollout(st, params, lib, no_env, drop_steps, gravity=-9.8)
+    final = engine.rollout(st, params, lib, no_env, drop_steps, gravity=-9.8,
+                           narrowphase=narrowphase)
     ob_pose_final = tf.pose_from_qt(final.quat[0], final.pos[0])
     placed = place_success(class_name, ob_pose_final, place_t)
     return ~blocked & placed
