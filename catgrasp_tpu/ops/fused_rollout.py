@@ -16,15 +16,14 @@ rollout:
   the 4 Jacobi iterations re-read slabs instead of re-materializing
   (B,N,P,M,3) tensors from HBM.
 * CSG evaluation is the same branch-free fixed-slot program as
-  ``geom.csg.csg_sdf`` but in component-unrolled per-lane form (shape
-  params vary per scene, i.e. per lane); body contact normals come from
-  central differences of the local SDF (6 extra evals — compute is free
-  here), env boxes use the analytic normal.
+  ``geom.csg.csg_sdf_and_normal`` but in component-unrolled per-lane form
+  (shape params vary per scene, i.e. per lane): one analytic SDF+normal
+  eval per collider; env boxes use the analytic box normal.
 
 Numerical contract: same algorithm as ``engine.step`` (Baumgarte, Coulomb
 clamp via normal-K approximation, Jacobi contact-count averaging,
-semi-implicit Euler, per-step damping); bf16 narrowphase storage and
-finite-difference normals make trajectories agree to ~1e-2 m over 50 steps
+semi-implicit Euler, per-step damping); bf16 narrowphase storage makes
+trajectories agree to ~1e-2 m over 50 steps
 (tested vs the reference engine in ``tests/test_fused_rollout.py``), which
 is within the engine's own chaos horizon for pile dynamics — distributions,
 not trajectories, are the parity target (SURVEY §7 "hard parts").
@@ -51,7 +50,6 @@ LANES = 128
 BAUMGARTE = 0.2
 SLOP = 2e-4
 STATIC_MASS = 1e8
-_FD_EPS = 5e-5  # central-difference normal step (m)
 
 
 # ---------------------------------------------------------------------------
@@ -59,52 +57,115 @@ _FD_EPS = 5e-5  # central-difference normal step (m)
 # ---------------------------------------------------------------------------
 
 
-def _sd_box_l(px, py, pz, hx, hy, hz):
+def _box_sdfn_l(px, py, pz, hx, hy, hz):
+    """Analytic box SDF + outward normal, per-lane (mirrors
+    ``geom.csg._box_sdf_normal`` component-unrolled)."""
     qx, qy, qz = jnp.abs(px) - hx, jnp.abs(py) - hy, jnp.abs(pz) - hz
     ox, oy, oz = jnp.maximum(qx, 0.0), jnp.maximum(qy, 0.0), jnp.maximum(qz, 0.0)
     d_out = jnp.sqrt(ox * ox + oy * oy + oz * oz + 1e-18)
-    d_in = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0)
-    return d_out + d_in
+    qmax = jnp.maximum(qx, jnp.maximum(qy, qz))
+    d_in = jnp.minimum(qmax, 0.0)
+    inv_do = 1.0 / d_out
+    outside = (qx > 0) | (qy > 0) | (qz > 0)
+    nx = jnp.where(outside, ox * inv_do, (qx >= qmax).astype(px.dtype)) * jnp.sign(px)
+    ny = jnp.where(outside, oy * inv_do, (qy >= qmax).astype(py.dtype)) * jnp.sign(py)
+    nz = jnp.where(outside, oz * inv_do, (qz >= qmax).astype(pz.dtype)) * jnp.sign(pz)
+    return d_out + d_in, nx, ny, nz
 
 
-def _sd_cyl_l(px, py, pz, r, hh):
-    dxy = jnp.sqrt(px * px + py * py + 1e-18) - r
+def _cyl_sdfn_l(px, py, pz, r, hh):
+    rxy = jnp.sqrt(px * px + py * py + 1e-18)
+    inv_rxy = 1.0 / rxy
+    dxy = rxy - r
     dz = jnp.abs(pz) - hh
     ox, oz = jnp.maximum(dxy, 0.0), jnp.maximum(dz, 0.0)
-    return jnp.sqrt(ox * ox + oz * oz + 1e-18) + jnp.minimum(jnp.maximum(dxy, dz), 0.0)
+    d_out = jnp.sqrt(ox * ox + oz * oz + 1e-18)
+    d_in = jnp.minimum(jnp.maximum(dxy, dz), 0.0)
+    inv_do = 1.0 / d_out
+    out = (ox + oz) > 0.0
+    # radial vs cap weights
+    wr = jnp.where(out, ox * inv_do, (dxy > dz).astype(px.dtype))
+    wz = jnp.where(out, oz * inv_do, (dxy <= dz).astype(px.dtype))
+    nx = wr * px * inv_rxy
+    ny = wr * py * inv_rxy
+    nz = wz * jnp.sign(pz)
+    return jnp.where(out, d_out, 0.0) + d_in, nx, ny, nz
 
 
-def _sd_hex_l(px, py, pz, ap, hh):
+def _hex_sdfn_l(px0, py0, pz0, ap, hh):
+    """Analytic hex-prism SDF + normal per-lane (``_hex_sdf_normal``)."""
     kx, ky, kz = -COS30, 0.5, 0.57735
-    ax, ay, az = jnp.abs(px), jnp.abs(py), jnp.abs(pz)
-    dot2 = jnp.minimum(kx * ax + ky * ay, 0.0)
-    ax = ax - 2.0 * dot2 * kx
-    ay = ay - 2.0 * dot2 * ky
-    lx = ax - jnp.clip(ax, -kz * ap, kz * ap)
-    ly = ay - ap
-    dx = jnp.sqrt(lx * lx + ly * ly + 1e-18) * jnp.sign(ay - ap)
-    dz = az - hh
+    s1, s2, sz = jnp.sign(px0), jnp.sign(py0), jnp.sign(pz0)
+    px, py, pz = jnp.abs(px0), jnp.abs(py0), jnp.abs(pz0)
+    dot = kx * px + ky * py
+    folded = dot < 0.0
+    mdot = jnp.minimum(dot, 0.0)
+    px2 = px - 2.0 * mdot * kx
+    py2 = py - 2.0 * mdot * ky
+    clipped = jnp.clip(px2, -kz * ap, kz * ap)
+    lx = px2 - clipped
+    ly = py2 - ap
+    llen = jnp.sqrt(lx * lx + ly * ly + 1e-18)
+    side = jnp.sign(py2 - ap)
+    dx = llen * side
+    dz = pz - hh
+    active = (px2 != clipped).astype(px.dtype)
+    inv_ll = 1.0 / llen
+    gx = side * lx * inv_ll * active
+    gy = side * ly * inv_ll
+    kg = kx * gx + ky * gy
+    gx = jnp.where(folded, gx - 2.0 * kx * kg, gx)
+    gy = jnp.where(folded, gy - 2.0 * ky * kg, gy)
     ox, oz = jnp.maximum(dx, 0.0), jnp.maximum(dz, 0.0)
-    return jnp.sqrt(ox * ox + oz * oz + 1e-18) + jnp.minimum(jnp.maximum(dx, dz), 0.0)
+    d_out = jnp.sqrt(ox * ox + oz * oz + 1e-18)
+    outside = (ox + oz) > 0.0
+    d_in = jnp.minimum(jnp.maximum(dx, dz), 0.0)
+    inv_do = 1.0 / d_out
+    w2d = jnp.where(outside, ox * inv_do, (dx > dz).astype(px.dtype))
+    wz = jnp.where(outside, oz * inv_do, (dx <= dz).astype(px.dtype))
+    nx = w2d * s1 * gx
+    ny = w2d * s2 * gy
+    nz = wz * sz
+    gn = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-18)
+    return (jnp.where(outside, d_out, 0.0) + d_in,
+            nx * gn, ny * gn, nz * gn)
 
 
-def _csg_eval_l(lx, ly, lz, types, ops, prm, off, n_slots):
-    """Branch-free CSG signed distance, per-lane params.
+def _csg_evaln_l(lx, ly, lz, types, ops, prm, off, n_slots):
+    """Branch-free CSG signed distance AND outward normal, per-lane params
+    (mirrors ``geom.csg.csg_sdf_and_normal``'s min/max normal tracking).
 
     lx/ly/lz: (..., L) local coords.  types/ops: (S, L); prm/off: (S, 3, L).
-    Mirrors ``geom.csg.csg_sdf`` exactly (slot-ordered min/max fold).
+    Returns (d, nx, ny, nz) in the local frame.
     """
     d = jnp.full(lx.shape, 1e9, lx.dtype)
+    nx = jnp.zeros_like(lx)
+    ny = jnp.zeros_like(lx)
+    nz = jnp.zeros_like(lx)
     for s in range(n_slots):
         px, py, pz = lx - off[s, 0], ly - off[s, 1], lz - off[s, 2]
         t = types[s]
-        db = _sd_box_l(px, py, pz, prm[s, 0], prm[s, 1], prm[s, 2])
-        dc = _sd_cyl_l(px, py, pz, prm[s, 0], prm[s, 1])
-        dh = _sd_hex_l(px, py, pz, prm[s, 0], prm[s, 1])
-        ds = jnp.where(t == BOX, db, jnp.where(t == CYLINDER, dc, dh))
-        d_new = jnp.where(ops[s] > 0, jnp.minimum(d, ds), jnp.maximum(d, -ds))
-        d = jnp.where(t == NONE, d, d_new)
-    return d
+        db, bx, by, bz = _box_sdfn_l(px, py, pz, prm[s, 0], prm[s, 1], prm[s, 2])
+        dc, cx, cy, cz = _cyl_sdfn_l(px, py, pz, prm[s, 0], prm[s, 1])
+        dh, hx, hy, hz = _hex_sdfn_l(px, py, pz, prm[s, 0], prm[s, 1])
+        is_b, is_c = t == BOX, t == CYLINDER
+        ds = jnp.where(is_b, db, jnp.where(is_c, dc, dh))
+        sx = jnp.where(is_b, bx, jnp.where(is_c, cx, hx))
+        sy = jnp.where(is_b, by, jnp.where(is_c, cy, hy))
+        sz_ = jnp.where(is_b, bz, jnp.where(is_c, cz, hz))
+        is_union = ops[s] > 0
+        take_u = is_union & (ds < d)
+        take_s = (~is_union) & (-ds > d)
+        d_new = jnp.where(is_union, jnp.minimum(d, ds), jnp.maximum(d, -ds))
+        live = t != NONE
+        d = jnp.where(live, d_new, d)
+        upd = live & (take_u | take_s)
+        sgn = jnp.where(take_u, 1.0, -1.0)
+        nx = jnp.where(upd, sgn * sx, nx)
+        ny = jnp.where(upd, sgn * sy, ny)
+        nz = jnp.where(upd, sgn * sz_, nz)
+    gn = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + 1e-18)
+    return d, nx * gn, ny * gn, nz * gn
 
 
 def _quat_to_R_l(q):
@@ -151,8 +212,11 @@ def _make_kernel(N, P, S, M_env, n_steps, n_iter, dt, gravity,
 
         def step_body(_, carry):
             pos, quat, lin, ang = carry
-            # gravity kick (dynamic bodies only)
-            lin = lin.at[:, 2].add(jnp.where(dyn > 0, g_dt, 0.0))
+            # gravity kick (dynamic bodies only) — no scatter: build the
+            # (N,3,L) increment by stacking (Mosaic has no scatter-add)
+            zero_nl = jnp.zeros_like(dyn)
+            lin = lin + jnp.stack(
+                [zero_nl, zero_nl, jnp.where(dyn > 0, g_dt, 0.0)], axis=1)
 
             R = _quat_to_R_l(quat)  # 9 x (N, L)
             # world surface points w_c (N, P, L)
@@ -180,7 +244,7 @@ def _make_kernel(N, P, S, M_env, n_steps, n_iter, dt, gravity,
 
             # ---- narrowphase: fill slabs (phi, n, K_n) --------------------
             cnt_i = jnp.zeros_like(act)   # (N, L)
-            cnt_j = jnp.zeros_like(act)
+            cnt_j_list = [jnp.zeros_like(act[0]) for _ in range(N)]
             for j in range(M_tot):
                 if j < N:
                     # body collider: local coords in j's frame
@@ -189,26 +253,18 @@ def _make_kernel(N, P, S, M_env, n_steps, n_iter, dt, gravity,
                     inv_s = 1.0 / scl[j]
                     loc = [(Rj[0 + c] * rel[0] + Rj[3 + c] * rel[1]
                             + Rj[6 + c] * rel[2]) * inv_s for c in range(3)]
-                    ty, op = ctyp[j], cop[j]
-                    pr, of = cpr[j], cof[j]
-
-                    def ev(lx, ly, lz):
-                        return _csg_eval_l(lx, ly, lz, ty, op, pr, of, S)
-
-                    phi = ev(*loc) * scl[j]
-                    e = _FD_EPS
-                    gx = ev(loc[0] + e, loc[1], loc[2]) - ev(loc[0] - e, loc[1], loc[2])
-                    gy = ev(loc[0], loc[1] + e, loc[2]) - ev(loc[0], loc[1] - e, loc[2])
-                    gz = ev(loc[0], loc[1], loc[2] + e) - ev(loc[0], loc[1], loc[2] - e)
-                    gn = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-18)
-                    gx, gy, gz = gx * gn, gy * gn, gz * gn
+                    phi, gx, gy, gz = _csg_evaln_l(
+                        loc[0], loc[1], loc[2], ctyp[j], cop[j],
+                        cpr[j], cof[j], S)
+                    phi = phi * scl[j]
                     # world normal = R_j @ n_loc
                     nx = Rj[0] * gx + Rj[1] * gy + Rj[2] * gz
                     ny = Rj[3] * gx + Rj[4] * gy + Rj[5] * gz
                     nz = Rj[6] * gx + Rj[7] * gy + Rj[8] * gz
-                    # self-pair / inactive masking
-                    ok = jnp.stack([pair_ok[i][j] for i in range(N)])  # (N, L)
-                    ok = ok.at[j].set(0.0)
+                    # self-pair / inactive masking (i == j zeroed at
+                    # python level — static indices)
+                    ok = jnp.stack([pair_ok[i][j] * (0.0 if i == j else 1.0)
+                                    for i in range(N)])  # (N, L)
                     phi = jnp.where(ok[:, None] > 0, phi, 1e9)
                 else:
                     m = j - N
@@ -242,7 +298,7 @@ def _make_kernel(N, P, S, M_env, n_steps, n_iter, dt, gravity,
                 contact = (phi < 0.0).astype(phi.dtype)
                 cnt_i = cnt_i + jnp.sum(contact, axis=1)
                 if j < N:
-                    cnt_j = cnt_j.at[j].add(jnp.sum(contact, axis=(0, 1)))
+                    cnt_j_list[j] = cnt_j_list[j] + jnp.sum(contact, axis=(0, 1))
 
                 # K_n = 1/mi + 1/mj + n.[(Ii^-1 (ri x n)) x ri] + (j term)
                 rix = [w[c] - pos[:, c][:, None] for c in range(3)]
@@ -269,6 +325,7 @@ def _make_kernel(N, P, S, M_env, n_steps, n_iter, dt, gravity,
                 nz_s[j] = nz.astype(jnp.bfloat16)
                 kn_s[j] = kn
 
+            cnt_j = jnp.stack(cnt_j_list)
             denom = jnp.maximum(cnt_i + cnt_j, 1.0)
             scale_body = 1.0 / denom  # (N, L)
 
@@ -276,8 +333,12 @@ def _make_kernel(N, P, S, M_env, n_steps, n_iter, dt, gravity,
             # python-unrolled version quadruples Mosaic compile time) ------
             def jacobi_iter(_i, la):
                 lin, ang = la
-                dlin = jnp.zeros_like(lin)  # (N, 3, L)
-                dang = jnp.zeros_like(ang)
+                zl = jnp.zeros_like(lin[:, 0])  # (N, L)
+                dlx, dly, dlz = zl, zl, zl
+                dax, day, daz = zl, zl, zl
+                zL = jnp.zeros_like(lin[0, 0])  # (L,)
+                rl = [[zL, zL, zL] for _ in range(N)]  # linear reactions
+                ra = [[zL, zL, zL] for _ in range(N)]  # angular reactions
                 for j in range(M_tot):
                     phi = phi_s[j].astype(jnp.float32)
                     nx = nx_s[j].astype(jnp.float32)
@@ -324,34 +385,43 @@ def _make_kernel(N, P, S, M_env, n_steps, n_iter, dt, gravity,
 
                     # accumulate on i
                     s_i = scale_body * inv_m  # (N, L)
-                    dlin = dlin.at[:, 0].add(jnp.sum(ix, axis=1) * s_i)
-                    dlin = dlin.at[:, 1].add(jnp.sum(iy, axis=1) * s_i)
-                    dlin = dlin.at[:, 2].add(jnp.sum(iz, axis=1) * s_i)
+                    dlx = dlx + jnp.sum(ix, axis=1) * s_i
+                    dly = dly + jnp.sum(iy, axis=1) * s_i
+                    dlz = dlz + jnp.sum(iz, axis=1) * s_i
                     tqx = jnp.sum(rix[1] * iz - rix[2] * iy, axis=1)
                     tqy = jnp.sum(rix[2] * ix - rix[0] * iz, axis=1)
                     tqz = jnp.sum(rix[0] * iy - rix[1] * ix, axis=1)
                     wx, wy, wz = apply_iI(slice(None), tqx, tqy, tqz)
-                    dang = dang.at[:, 0].add(wx * scale_body)
-                    dang = dang.at[:, 1].add(wy * scale_body)
-                    dang = dang.at[:, 2].add(wz * scale_body)
+                    dax = dax + wx * scale_body
+                    day = day + wy * scale_body
+                    daz = daz + wz * scale_body
 
                     if j < N:
-                        # reaction on body j (impulse is ON i, so -imp on j)
+                        # reaction on body j (impulse is ON i, so -imp on j);
+                        # j is a static python index -> list accumulation
                         sjx = -jnp.sum(ix, axis=(0, 1))  # (L,)
                         sjy = -jnp.sum(iy, axis=(0, 1))
                         sjz = -jnp.sum(iz, axis=(0, 1))
                         s_j = scale_body[j] * inv_m[j]
-                        dlin = dlin.at[j, 0].add(sjx * s_j)
-                        dlin = dlin.at[j, 1].add(sjy * s_j)
-                        dlin = dlin.at[j, 2].add(sjz * s_j)
+                        rl[j][0] = rl[j][0] + sjx * s_j
+                        rl[j][1] = rl[j][1] + sjy * s_j
+                        rl[j][2] = rl[j][2] + sjz * s_j
                         tjx = -jnp.sum(rjx[1] * iz - rjx[2] * iy, axis=(0, 1))
                         tjy = -jnp.sum(rjx[2] * ix - rjx[0] * iz, axis=(0, 1))
                         tjz = -jnp.sum(rjx[0] * iy - rjx[1] * ix, axis=(0, 1))
                         bx, by, bz = apply_iI(j, tjx, tjy, tjz)
-                        dang = dang.at[j, 0].add(bx * scale_body[j])
-                        dang = dang.at[j, 1].add(by * scale_body[j])
-                        dang = dang.at[j, 2].add(bz * scale_body[j])
-                return (lin + dlin, ang + dang)
+                        ra[j][0] = ra[j][0] + bx * scale_body[j]
+                        ra[j][1] = ra[j][1] + by * scale_body[j]
+                        ra[j][2] = ra[j][2] + bz * scale_body[j]
+                dlx = dlx + jnp.stack([rl[b][0] for b in range(N)])
+                dly = dly + jnp.stack([rl[b][1] for b in range(N)])
+                dlz = dlz + jnp.stack([rl[b][2] for b in range(N)])
+                dax = dax + jnp.stack([ra[b][0] for b in range(N)])
+                day = day + jnp.stack([ra[b][1] for b in range(N)])
+                daz = daz + jnp.stack([ra[b][2] for b in range(N)])
+                lin = lin + jnp.stack([dlx, dly, dlz], axis=1)
+                ang = ang + jnp.stack([dax, day, daz], axis=1)
+                return (lin, ang)
 
             lin, ang = jax.lax.fori_loop(0, n_iter, jacobi_iter, (lin, ang))
 
@@ -490,6 +560,11 @@ def rollout_fused(state: SceneState, params: SceneParams, lib: ShapeLib,
         out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
+        # the step working set (contact slabs + eval temporaries) wants more
+        # scoped VMEM than Mosaic's conservative 16M default; v5e has
+        # headroom above that
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*ins)
 
     out = state.replace(pos=_from_lanes(pos), quat=_from_lanes(quat),
