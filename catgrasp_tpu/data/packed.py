@@ -222,16 +222,32 @@ class PackedGrasp:
     def batches(self, batch_size: int, shuffle: bool = True):
         n_pts = self.cfg.get("n_pts", 1024)
         flip_p = self.cfg.get("flip_cloud_prob", 0.5) if self.phase == "train" else 0.0
-        order = (self.rng.permutation(len(self)) if shuffle
-                 else np.arange(len(self)))
+        if shuffle and self.phase == "train" and self.cfg.get("balance_bins", True):
+            # class-balanced sampling: the dense-clutter projection labels
+            # are dominated by bins 0 and 9 (marginal entropy 2.08 nats ==
+            # the round-2 CE plateau — the net was predicting the marginal).
+            # Uniform-over-bins draws force the ranking signal.  Epoch
+            # length stays len(self)/batch.
+            score_bin = np.digitize(self.score, self.classes) - 1
+            bins = [np.where(score_bin == b)[0] for b in range(len(self.classes) - 1)]
+            bins = [b for b in bins if len(b)]
+            per = [b[self.rng.integers(0, len(b), (len(self) // len(bins) + 1,))]
+                   for b in bins]
+            order = np.concatenate(per)
+            self.rng.shuffle(order)
+            order = order[: len(self)]
+        else:
+            order = (self.rng.permutation(len(self)) if shuffle
+                     else np.arange(len(self)))
         for i in range(0, len(order) - batch_size + 1, batch_size):
             ks = order[i:i + batch_size]
-            raw = np.asarray(self.clouds[self.cloud_row[ks]], np.float32)
+            raw = self.clouds[self.cloud_row[ks]]  # f16, stays f16 until cut
             B = raw.shape[0]
-            # subsample BEFORE the frame transform: 4x less einsum work on
-            # the (single-core) host loader, identical per-point semantics
+            # subsample BEFORE the frame transform AND before the f32 cast:
+            # converting the full (B, 8192, 6) row to f32 was half the
+            # single-core loader cost
             idx = _batch_indices(self.rng, self.P, n_pts, B, 0, 0)
-            raw = np.take_along_axis(raw, idx[..., None], axis=1)
+            raw = np.take_along_axis(raw, idx[..., None], axis=1).astype(np.float32)
             T = np.linalg.inv(self.pose[ks])  # cam -> grasp frame
             xyz = np.einsum("bij,bpj->bpi", T[:, :3, :3], raw[..., :3]) \
                 + T[:, None, :3, 3]

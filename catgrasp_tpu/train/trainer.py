@@ -34,17 +34,26 @@ class TrainState(train_state.TrainState):
 
 
 def multistep_lr(start_lr: float, batch_size: int, milestones: list[int],
-                 steps_per_epoch: int, gamma: float = 0.1):
+                 steps_per_epoch: int, gamma: float = 0.1,
+                 warmup_steps: int = 0):
     """lr = start_lr/64*batch, ×gamma at each milestone epoch
-    (``trainer_grasp.py:36-42``)."""
+    (``trainer_grasp.py:36-42``), with an optional linear warmup — the
+    reference formula reaches lr≈0.0375 for Adam at batch 240, which our
+    GroupNorm nets (no BatchNorm running stats to absorb the shock) need a
+    few hundred steps to survive."""
     base = start_lr / 64.0 * batch_size
     bounds = {m * steps_per_epoch: gamma for m in milestones}
-    return optax.piecewise_constant_schedule(base, bounds)
+    sched = optax.piecewise_constant_schedule(base, bounds)
+    if warmup_steps <= 0:
+        return sched
+    warm = optax.linear_schedule(base * 0.02, base, warmup_steps)
+    return optax.join_schedules([warm, sched], [warmup_steps])
 
 
 def make_optimizer(cfg: dict, steps_per_epoch: int):
     sched = multistep_lr(cfg.get("start_lr", 0.01), cfg.get("batch_size", 32),
-                         cfg.get("lr_milestones", []), steps_per_epoch)
+                         cfg.get("lr_milestones", []), steps_per_epoch,
+                         warmup_steps=cfg.get("warmup_steps", 0))
     wd = cfg.get("weight_decay", 0.0)
     # global-norm clip: the reference's lr formula reaches ~0.04 for Adam at
     # batch 240, which diverges on small datasets; clipping keeps the same
