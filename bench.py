@@ -56,10 +56,21 @@ def bench_env_steps():
     env = engine.StaticEnv.open_bin(cfg.bin_inner)
     states, params = jax.vmap(lambda k: env_pile.reset(k, lib, cfg))(keys)
 
-    @jax.jit
-    def run(st):
-        return jax.vmap(lambda s, p: engine.rollout(
-            s, p, lib, env, steps_per_call, dt=cfg.dt))(st, params)
+    import os
+    if os.environ.get("CATGRASP_BENCH_FUSED", "0") == "1":
+        # fused Pallas rollout (ops/fused_rollout.py): whole step pipeline
+        # VMEM-resident.  Opt-in until the axon remote-compile path is
+        # verified for this kernel on the target runtime.
+        from catgrasp_tpu.ops.fused_rollout import rollout_fused
+
+        @jax.jit
+        def run(st):
+            return rollout_fused(st, params, lib, env, steps_per_call, dt=cfg.dt)
+    else:
+        @jax.jit
+        def run(st):
+            return jax.vmap(lambda s, p: engine.rollout(
+                s, p, lib, env, steps_per_call, dt=cfg.dt))(st, params)
 
     states = run(states)
     jax.block_until_ready(states)

@@ -1,0 +1,43 @@
+#!/bin/bash
+# Round-3 finish: repair affordance instances that lost the TPU-service
+# outage races, rebuild affected canonicals, then run the 3-class x 3-seed
+# eval matrix (oracle + learned).  Run AFTER scripts/r3_chain.sh completes.
+set -u
+cd /root/repo
+note() { echo "$(date +%H:%M:%S) $1" >> logs/r3_finish.log; }
+note "=== r3 finish start ==="
+
+# ---- repair: instances whose generation timed out during the outage -----
+repair() { # class index
+  local f=dataset/affordance/$1_train_$2_affordance.npz
+  [ -f $f ] && [ $f -nt catgrasp_tpu/sim/env_semantic.py ] && return
+  timeout 1200 python -m catgrasp_tpu.pipelines.generate_affordance \
+    --class_name $1 --index $2 --chunk 1024 \
+    --grasp_db dataset/grasps/$1_train_$2_complete_grasp.npz \
+    >> logs/aff_r3.log 2>&1
+  note "repair aff $1/$2 rc=$?"
+}
+for i in 0 1 2 3 4 5 6 7 8 9 10 11; do repair nut $i; done
+for i in 0 1 2 3 4 5 6 7 8; do repair screw $i; done
+for i in 0 1 2 3 4 5 6 7; do repair hnm $i; done
+
+for c in nut screw hnm; do
+  timeout 900 python -m catgrasp_tpu.pipelines.make_canonical \
+    --class_name $c >> logs/canonical_r3.log 2>&1
+  note "canonical $c rc=$?"
+done
+
+# ---- eval matrix: oracle + learned, 3 classes x 3 seeds -----------------
+for c in nut screw hnm; do
+  timeout 4500 python scripts/eval_matrix.py --class_name $c --oracle 1 \
+    --seeds 0 1 2 > logs/evalm_oracle_$c.log 2>&1
+  note "oracle $c rc=$?"
+done
+for c in nut screw hnm; do
+  ART=artifacts_tracked/$c
+  [ -d $ART/seg ] || { note "learned $c SKIP (no artifacts)"; continue; }
+  timeout 6000 python scripts/eval_matrix.py --class_name $c --oracle 0 \
+    --artifacts $ART --seeds 0 1 2 > logs/evalm_learned_$c.log 2>&1
+  note "learned $c rc=$?"
+done
+note "ALL_R3_FINISH_DONE"
