@@ -39,12 +39,12 @@ gen() { # class split n start
     >> logs/gen_r3_$1_$2.log 2>&1
   note "gen $1/$2 n=$3 start=$4 rc=$?"
 }
-[ -f dataset/screw/train/0006143.npz ] || gen screw train 6144 0
+[ -f dataset/screw/train/0004095.npz ] || gen screw train 4096 0
 [ -f dataset/screw/val/0000511.npz ]   || gen screw val 512 0
-[ -f dataset/hnm/train/0006143.npz ]   || gen hnm train 6144 0
+[ -f dataset/hnm/train/0004095.npz ]   || gen hnm train 4096 0
 [ -f dataset/hnm/val/0000511.npz ]     || gen hnm val 512 0
 # extra nut scenes at the widened randomization, appended after the 10832
-[ -f dataset/nut/train/0014927.npz ]   || gen nut train 4096 10832
+[ -f dataset/nut/train/0012879.npz ]   || gen nut train 2048 10832
 note "stage3 scene gen done"
 
 # ---- stage 4: pack ------------------------------------------------------
@@ -90,9 +90,9 @@ trainc() { # class seg_s nunocs_s grasp_s
     note "train grasp $c rc=$?"
   fi
 }
-trainc nut 1500 800 1800
-trainc screw 1500 800 1800
-trainc hnm 1500 800 1800
+trainc nut 1000 500 1200
+trainc screw 1200 600 1200
+trainc hnm 1200 600 1200
 note "stage5 training done"
 
 # ---- stage 6: bandwidth calibration + export ----------------------------
