@@ -99,3 +99,16 @@ def segment_mean(values: jnp.ndarray, labels: jnp.ndarray, num_segments: int):
     cnt = jax.ops.segment_sum(jnp.ones_like(labels, jnp.float32), safe,
                               num_segments=num_segments + 1)
     return sums[:num_segments] / jnp.maximum(cnt[:num_segments, None], 1.0)
+
+
+def segment_min(values: jnp.ndarray, labels: jnp.ndarray, num_segments: int):
+    """Per-cluster min — ``PG_OP.sec_min`` analog (``sec_mean.cu``).  Empty
+    segments return +inf (the CUDA op leaves them at the init value)."""
+    safe = jnp.where(labels >= 0, labels, num_segments)
+    return jax.ops.segment_min(values, safe, num_segments=num_segments + 1)[:num_segments]
+
+
+def segment_max(values: jnp.ndarray, labels: jnp.ndarray, num_segments: int):
+    """Per-cluster max — ``PG_OP.sec_max`` analog.  Empty segments -inf."""
+    safe = jnp.where(labels >= 0, labels, num_segments)
+    return jax.ops.segment_max(values, safe, num_segments=num_segments + 1)[:num_segments]

@@ -103,6 +103,14 @@ def test_segment_mean():
     np.testing.assert_allclose(np.asarray(m), [[2.0, 0], [10.0, 2.0]])
 
 
+def test_segment_min_max():
+    from catgrasp_tpu.nn.cluster import segment_max, segment_min
+    v = jnp.array([4.0, -1.0, 7.0, 2.0, 5.0])
+    lab = jnp.array([0, 0, 1, 1, -1])  # -1 = unlabeled, excluded
+    np.testing.assert_allclose(np.asarray(segment_min(v, lab, 2)), [-1.0, 2.0])
+    np.testing.assert_allclose(np.asarray(segment_max(v, lab, 2)), [4.0, 7.0])
+
+
 def test_offset_loss_masked():
     pred = jnp.ones((8, 3))
     gt = jnp.ones((8, 3))
