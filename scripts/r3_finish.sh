@@ -27,17 +27,26 @@ for c in nut screw hnm; do
   note "canonical $c rc=$?"
 done
 
-# ---- eval matrix: oracle + learned, 3 classes x 3 seeds -----------------
-for c in nut screw hnm; do
-  timeout 4500 python scripts/eval_matrix.py --class_name $c --oracle 1 \
-    --seeds 0 1 2 > logs/evalm_oracle_$c.log 2>&1
-  note "oracle $c rc=$?"
-done
+# ---- arbitrary-mesh demo tally (VERDICT r2 #3 done-criterion) -----------
+# quick: 1 round x 4 objects, oracle, grid-SDF physics + grid raymarch
+[ -f assets/nut_demo.obj ] || python scripts/export_demo_objs.py
+timeout 2700 python -m catgrasp_tpu.pipelines.run_grasp_simulation \
+  --class_name nut --obj_path assets/nut_demo.obj --n_rounds 1 \
+  --n_objects 4 --seed 0 --canonical dataset/nut_canonical.npz \
+  > logs/obj_demo_nut.log 2>&1
+note "obj_demo nut rc=$?"
+
+# ---- eval matrix: learned FIRST (the round-3 headline), then oracle -----
 for c in nut screw hnm; do
   ART=artifacts_tracked/$c
   [ -d $ART/seg ] || { note "learned $c SKIP (no artifacts)"; continue; }
   timeout 6000 python scripts/eval_matrix.py --class_name $c --oracle 0 \
     --artifacts $ART --seeds 0 1 2 > logs/evalm_learned_$c.log 2>&1
   note "learned $c rc=$?"
+done
+for c in nut screw hnm; do
+  timeout 4500 python scripts/eval_matrix.py --class_name $c --oracle 1 \
+    --seeds 0 1 2 > logs/evalm_oracle_$c.log 2>&1
+  note "oracle $c rc=$?"
 done
 note "ALL_R3_FINISH_DONE"
