@@ -261,7 +261,17 @@ def _solve_contacts(state: SceneState, params: SceneParams, lib: ShapeLib,
         v_t = v_rel - v_n[..., None] * nrm
         vt_norm = jnp.linalg.norm(v_t, axis=-1)
         t_dir = v_t / (vt_norm[..., None] + 1e-9)
-        jt_mag = vt_norm / K_n  # use normal K as tangential effective mass approx
+        # Tangential effective mass approximated by the normal-direction K.
+        # Measured on the real instance inertias (tests/test_tangential_mass.py)
+        # the true K_t/K_n is median ~1.0 but tails to ~25x on elongated
+        # bodies (screw): the resulting friction-impulse mis-sizing is (a)
+        # hard-clamped by the mu*jn cone below, and (b) damped by the Jacobi
+        # contact-count averaging, so it shifts stick/slip CONVERGENCE RATE,
+        # not contact equilibria.  Exact K_t would need per-iteration
+        # cross+quadratic-form recompute (t_dir is velocity-dependent) in
+        # both this solver and the fused Pallas kernel (ops/fused_rollout.py)
+        # which mirrors it.
+        jt_mag = vt_norm / K_n
         jt_mag = jnp.minimum(jt_mag, mu * jn)
         jt = -jt_mag[..., None] * t_dir
 
