@@ -114,6 +114,46 @@ def bench_collision_gate():
     return P * len(offsets) * n_calls / dt_wall
 
 
+def bench_render():
+    """Labeled-frame renderer throughput at the eval-protocol resolution.
+
+    One frame = the full label stack (depth/seg/NUNOCS/normal/xyz) of one
+    settled 10-body pile at 384x512 — the unit of work of the reference's
+    per-scene pyrender offscreen pass + label projection
+    (``pybullet_env/camera.py:35-45``, ``generate_data.py``).
+    """
+    from catgrasp_tpu.geom.csg import make_csg_instance
+    from catgrasp_tpu.render import raymarch
+
+    B, H, W = 8, 384, 512
+    cfg = env_pile.PileConfig(max_bodies=10)
+    specs = [("nut", 0), ("screw", 0), ("hnm", 0)]
+    meshes = [prim.make_instance(c, "train", i) for c, i in specs]
+    csgs = [make_csg_instance(c, "train", i) for c, i in specs]
+    lib = build_shape_lib(meshes, csgs, n_surf=32)
+    env = engine.StaticEnv.open_bin(cfg.bin_inner)
+    keys = jax.random.split(jax.random.PRNGKey(4), B)
+    states, params = jax.vmap(lambda k: env_pile.reset(k, lib, cfg))(keys)
+
+    fx = 2257.75 * (W / 2064.0)
+    K = jnp.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1.0]])
+    cam = jnp.eye(4).at[:3, :3].set(
+        jnp.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])).at[2, 3].set(0.7)
+
+    run = jax.jit(lambda st, p: raymarch.render_batch(
+        lib, st, p, K, cam, H, W, env=env))
+    out = run(states, params)
+    jax.block_until_ready(out)
+    _readback(out["depth"])
+    n_calls = 8
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        out = run(states, params)
+    _readback(out["depth"])
+    dt_wall = time.perf_counter() - t0
+    return B * n_calls / dt_wall
+
+
 def bench_ik_gate():
     from catgrasp_tpu.kin import iiwa
 
@@ -145,6 +185,7 @@ def main():
     sps = bench_env_steps()
     cps = bench_collision_gate()
     ips = bench_ik_gate()
+    rps = bench_render()
     print(json.dumps({
         "metric": "pile_env_steps_per_sec",
         "value": round(sps, 1),
@@ -154,6 +195,7 @@ def main():
             "grasp_collision_checks_per_sec": round(cps, 1),
             "grasp_collision_vs_baseline": round(cps / BASELINE_CHECKS_PER_SEC, 3),
             "ik_gate_poses_per_sec": round(ips, 1),
+            "labeled_render_frames_per_sec": round(rps, 1),
         },
     }))
 

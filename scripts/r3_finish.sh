@@ -36,6 +36,10 @@ timeout 2700 python -m catgrasp_tpu.pipelines.run_grasp_simulation \
   > logs/obj_demo_nut.log 2>&1
 note "obj_demo nut rc=$?"
 
+# ---- full-resolution render probe (VERDICT r2 weak #6; ~2 min) ----------
+timeout 900 python scripts/fullres_render.py --n 8 > logs/fullres_render.log 2>&1
+note "fullres rc=$?"
+
 # ---- eval matrix: learned FIRST (the round-3 headline), then oracle -----
 for c in nut screw hnm; do
   ART=artifacts_tracked/$c
