@@ -720,6 +720,13 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                 print(f"round {rnd} attempt {attempt}: target {target} "
                       f"picked={picked} placed={placed if picked else '-'} "
                       f"p_T_G={p_T_G[pick]:.2f}")
+                if not picked:
+                    # failed-pick post-mortem: which hold-gate term broke
+                    # (execute_pick_arm's disp/closed/centered, arm.py:203-208)
+                    t = np.asarray(ob_in_grasp)[:3, 3]
+                    print(f"    pick diag: width {float(w_f)*1e3:.1f} mm, "
+                          f"ob_in_grasp t [{t[0]*1e3:.1f} {t[1]*1e3:.1f} "
+                          f"{t[2]*1e3:.1f}] mm, disturb {float(disturb)*1e3:.1f} mm")
 
     mlog.event("tally", **counters.__dict__)
     mlog.close()
