@@ -26,6 +26,14 @@ import os as _os
 
 import jax as _jax
 
+# The axon TPU plugin registers itself regardless of the JAX_PLATFORMS env
+# var (the env-var demotion silently loses to plugin discovery), so a
+# "JAX_PLATFORMS=cpu python -m catgrasp_tpu.pipelines..." run would land on
+# the TPU and race whatever chain currently holds the single-client tunnel.
+# Honor the env var explicitly via the config API, which does win.
+if _os.environ.get("JAX_PLATFORMS"):
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
 # Geometry/physics live on chains of small (3x3 / 4x4) matmuls where bf16
 # MXU accumulation visibly corrupts poses; make float32 the framework-wide
 # default. NN hot paths opt into bf16 explicitly via dtype arguments.

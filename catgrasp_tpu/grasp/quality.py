@@ -178,11 +178,15 @@ def parallel_jaw_quality(cloud: jnp.ndarray, normals: jnp.ndarray,
                          jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), pg.shape))
         q = epsilon_quality(pg - c, n_in, m_pos | m_neg, mu=mu, n_dirs=256)
         ok = m_pos.any() & m_neg.any() & (jnp.sum(m_pos | m_neg) >= 4)
-        # engagement: how deep the contact patch sits toward the palm.
-        # Tip-held objects (low engagement) shake loose under perturbation —
-        # the signal the reference's physics-trained quality net encodes.
+        # engagement: how deep the contact patch sits toward the palm
+        # (palm at x=0, tips at finger_len) — tip-held objects (contacts
+        # only near x=finger_len, so fl - min_x ~ 0) shake loose under
+        # perturbation; that is the signal the reference's physics-trained
+        # quality net encodes.  Same measure as filter.engagement_depth.
         contacts = m_pos | m_neg
-        depth = jnp.max(jnp.where(contacts, pg[:, 0], 0.0)) / spec.finger_len
+        depth = (spec.finger_len
+                 - jnp.min(jnp.where(contacts, pg[:, 0], spec.finger_len))
+                 ) / spec.finger_len
         q = q * (0.4 + 0.6 * jnp.clip(depth, 0.0, 1.0))
         return jnp.where(ok, q, 0.0)
 

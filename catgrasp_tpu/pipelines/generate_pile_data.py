@@ -155,6 +155,14 @@ def generate_scenes(class_name: str, split: str, n_scenes: int, out_dir: str,
     # remainder continues the exact key stream of an uninterrupted run
     if start % batch != 0:
         raise ValueError(f"--start must be a multiple of batch={batch}")
+    if start >= n_scenes:
+        # n_scenes is the END id, not a count: --start 10832 --n_scenes 2048
+        # would otherwise silently generate nothing (it no-oped a round-3
+        # data stage exactly this way)
+        raise ValueError(
+            f"--n_scenes ({n_scenes}) is the exclusive END scene id, which "
+            f"must exceed --start ({start}); to append K scenes pass "
+            f"--n_scenes {start}+K")
     for _ in range(start // batch):
         key, _ = jax.random.split(key)
     scene_id = start
@@ -188,7 +196,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--class_name", default="nut")
     ap.add_argument("--split", default="train")
-    ap.add_argument("--n_scenes", type=int, default=64)
+    ap.add_argument("--n_scenes", type=int, default=64,
+                    help="exclusive END scene id (NOT a count): generates "
+                         "ids [start, n_scenes)")
     ap.add_argument("--out_dir", default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--start", type=int, default=0,

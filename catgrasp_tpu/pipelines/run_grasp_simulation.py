@@ -495,6 +495,7 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                         cam_in_world=cam_in_base, filter_ik=True, chunk=128,
                         adjust_depth=True)
                     cand = [np.asarray(poses_c)[np.asarray(valid_c)]]
+                    prov = [np.zeros(len(cand[0]), np.int32)]  # 0=cone 1=nocs
                     mlog.event("filter", round=rnd, attempt=attempt, seg=int(sid),
                                n_valid=int(np.asarray(valid_c).sum()),
                                **{k: int(v) for k, v in fstats.items()})
@@ -509,10 +510,14 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                             cam_in_world=cam_in_base, filter_ik=True, chunk=128,
                             adjust_depth=True)
                         cand.append(np.asarray(poses_n)[np.asarray(valid_n)])
+                        prov.append(np.ones(len(cand[1]), np.int32))
                     grasps_cam = (np.concatenate(cand) if any(len(c) for c in cand)
                                   else np.zeros((0, 4, 4)))
+                    grasp_prov = (np.concatenate(prov) if len(grasps_cam)
+                                  else np.zeros(0, np.int32))
                     if len(grasps_cam):
-                        found = (m, target, pts, nrm, nocs_pose, grasps_cam)
+                        found = (m, target, pts, nrm, nocs_pose, grasps_cam,
+                                 grasp_prov)
                         break
                 if found is not None:
                     break
@@ -524,9 +529,11 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                     print(f"round {rnd} attempt {attempt}: no grasp candidates"
                           f" on any segment at any bandwidth")
                 break
-            m, target, pts, nrm, nocs_pose, grasps_cam = found
+            m, target, pts, nrm, nocs_pose, grasps_cam, grasp_prov = found
             if len(grasps_cam) > 128:
-                grasps_cam = grasps_cam[rng.choice(len(grasps_cam), 128, replace=False)]
+                sel = rng.choice(len(grasps_cam), 128, replace=False)
+                grasps_cam = grasps_cam[sel]
+                grasp_prov = grasp_prov[sel]
 
             # --- scores -----------------------------------------------------
             if canonical is not None and canonical["canonical_affordance"].any():
@@ -569,7 +576,15 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
             from ..grasp.filter import engagement_depth
             eng = np.asarray(engagement_depth(jnp.asarray(pts),
                                               jnp.asarray(grasps_cam), spec))
-            srt = np.lexsort((-eng, -np.round(p_T_G, 2)))
+            # geometric viability OUTRANKS the scores: a grasp whose captured
+            # surface sits < ~3.6 mm inside the fingertip plane closes on air
+            # whatever its p(T,G) says (the init_bite end of the reference's
+            # depth sweep generates such hover candidates by design,
+            # common.cpp:142-144; the reference relies on its quality net to
+            # kill them — ours go to the best-effort tail deterministically)
+            viable = eng >= 0.08
+            srt = np.lexsort((-eng, -np.round(p_T_G, 2), ~viable))
+            ok = ok & viable
             order = [i for i in srt if ok[i]] + [i for i in srt if not ok[i]]
 
             # --- arm: IK + RRT-connect to the pregrasp (reference move_arm,
@@ -630,6 +645,8 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                     if path is not None:
                         pick = i
                         pick_plan = (np.stack(path), qs_d, qs_l)
+                        dbg_gate = {"ee_goal": ee_goal, "q_grasp": qs_d[-1],
+                                    "g_base": g_base}
                         break
                     n_plan_fail += 1
                 if pick is None:
@@ -727,6 +744,27 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                     print(f"    pick diag: width {float(w_f)*1e3:.1f} mm, "
                           f"ob_in_grasp t [{t[0]*1e3:.1f} {t[1]*1e3:.1f} "
                           f"{t[2]*1e3:.1f}] mm, disturb {float(disturb)*1e3:.1f} mm")
+            import os as _os
+            if _os.environ.get("CATGRASP_PICK_DEBUG"):
+                # offline post-mortem dump: every candidate with provenance +
+                # ordering + the chosen plan's FK-vs-goal error
+                dd = {"pts": pts, "nrm": nrm, "grasps_cam": grasps_cam,
+                      "prov": grasp_prov, "order": np.asarray(order),
+                      "ok": ok, "p_G": p_G, "p_T_given_G": p_T_given_G,
+                      "eng": eng, "pick": pick, "target": target,
+                      "picked": picked, "w_f": np.asarray(w_f),
+                      "ob_in_grasp": np.asarray(ob_in_grasp),
+                      "pos": np.asarray(state_after.pos),
+                      "quat": np.asarray(state_after.quat),
+                      "nocs_pose": nocs_pose, "cam": cam,
+                      "base_in_world": base_in_world}
+                if use_arm and "dbg_gate" in dir():
+                    fk_err = np.linalg.norm(
+                        np.asarray(iiwa.fk(jnp.asarray(dbg_gate["q_grasp"])))[:3, 3]
+                        - np.asarray(dbg_gate["ee_goal"])[:3, 3])
+                    dd.update(ee_goal=dbg_gate["ee_goal"], fk_err=fk_err,
+                              g_base=dbg_gate["g_base"])
+                np.savez(f"/tmp/pickdbg_{rnd}_{attempt}.npz", **dd)
 
     mlog.event("tally", **counters.__dict__)
     mlog.close()

@@ -80,7 +80,6 @@ def _env_sdf(env: StaticEnv, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.min(d, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("H", "W", "n_steps", "with_env", "geometry"))
 def render(lib: ShapeLib, state: SceneState, params: SceneParams,
            K: jnp.ndarray, cam_in_world: jnp.ndarray, H: int, W: int,
            env: StaticEnv | None = None, zfar: float = 3.0,
@@ -94,7 +93,25 @@ def render(lib: ShapeLib, state: SceneState, params: SceneParams,
     ``geometry="grid"`` marches the baked SDF grids (``lib.sdf_values``;
     build the lib with ``bake_grids=True``) instead of analytic CSG — the
     arbitrary-mesh path for external ``.obj`` assets.
+
+    The march runs as a Pallas tile kernel on TPU for the CSG path
+    (:mod:`catgrasp_tpu.ops.render_march`); grid geometry and other
+    backends use the XLA ``lax.scan`` march.
     """
+    from ..ops import render_march as rm
+    use_pallas = geometry == "csg" and rm.pallas_render_enabled()
+    return _render_impl(lib, state, params, K, cam_in_world, H, W, env=env,
+                        zfar=zfar, n_steps=n_steps, with_env=with_env,
+                        geometry=geometry, use_pallas=use_pallas)
+
+
+@partial(jax.jit, static_argnames=("H", "W", "n_steps", "with_env", "geometry",
+                                   "use_pallas"))
+def _render_impl(lib: ShapeLib, state: SceneState, params: SceneParams,
+                 K: jnp.ndarray, cam_in_world: jnp.ndarray, H: int, W: int,
+                 env: StaticEnv | None = None, zfar: float = 3.0,
+                 n_steps: int = 64, with_env: bool = True,
+                 geometry: str = "csg", use_pallas: bool = False):
     scene_sdf = _scene_sdf_grid if geometry == "grid" else _scene_sdf
     # pixel rays in world frame
     vs = jnp.arange(H, dtype=jnp.float32)[:, None]
@@ -112,19 +129,28 @@ def render(lib: ShapeLib, state: SceneState, params: SceneParams,
     t0 = 0.05
     tmax = zfar / jnp.maximum(d_cam.reshape(-1, 3)[:, 2], 1e-3)  # cap by z-depth
 
-    def march(carry, _):
-        t, done = carry
-        x = o_w + t[:, None] * d_w
-        phi_b, _ = scene_sdf(lib, state, params, x)
-        phi = jnp.min(phi_b, axis=-1)
-        if with_env and env is not None:
-            phi = jnp.minimum(phi, _env_sdf(env, x))
-        step = jnp.clip(phi, HIT_EPS * 0.5, 0.05)
-        newly_done = phi < HIT_EPS
-        t = jnp.where(done | newly_done, t, jnp.minimum(t + step, tmax))
-        return (t, done | newly_done | (t >= tmax)), None
+    if use_pallas:
+        from ..ops import render_march as rm
+        t = rm.march_csg(lib, state, params, o_w, d_w, tmax,
+                         env=env if (with_env and env is not None) else None,
+                         n_steps=n_steps, hit_eps=HIT_EPS,
+                         interpret=jax.default_backend() != "tpu")
+    else:
+        def march(carry, _):
+            t, done = carry
+            x = o_w + t[:, None] * d_w
+            phi_b, _ = scene_sdf(lib, state, params, x)
+            phi = jnp.min(phi_b, axis=-1)
+            if with_env and env is not None:
+                phi = jnp.minimum(phi, _env_sdf(env, x))
+            step = jnp.clip(phi, HIT_EPS * 0.5, 0.05)
+            newly_done = phi < HIT_EPS
+            t = jnp.where(done | newly_done, t, jnp.minimum(t + step, tmax))
+            return (t, done | newly_done | (t >= tmax)), None
 
-    (t, _), _ = jax.lax.scan(march, (jnp.full((P,), t0), jnp.zeros((P,), bool)), None, length=n_steps)
+        (t, _), _ = jax.lax.scan(
+            march, (jnp.full((P,), t0), jnp.zeros((P,), bool)), None,
+            length=n_steps)
 
     x = o_w + t[:, None] * d_w
     phi_b, loc = scene_sdf(lib, state, params, x)

@@ -1,0 +1,82 @@
+"""One-shot TPU trial of the Pallas sphere-trace kernel (ops/render_march.py).
+
+Compiles + runs the tiled march on the real chip and compares wall-clock and
+output depth against the XLA ``lax.scan`` march on the same settled pile, at
+both the eval resolution (384x512) and the reference full resolution
+(1544x2064, ``config.yml`` camera).  Run from a FRESH process inside
+``timeout`` — the Mosaic compile is the risky part on the axon tunnel.
+
+    timeout 900 python scripts/render_tpu_trial.py
+Prints one JSON line per resolution:
+{"H":..,"W":..,"ok":..,"pallas_frames_per_sec":..,"xla_frames_per_sec":..,
+ "max_t_err":..}
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def main():
+    from catgrasp_tpu.geom import primitives as prim
+    from catgrasp_tpu.geom.csg import make_csg_instance
+    from catgrasp_tpu.render import raymarch
+    from catgrasp_tpu.sim import engine, env_pile
+    from catgrasp_tpu.sim.types import build_shape_lib
+
+    cfg = env_pile.PileConfig(max_bodies=10)
+    specs = [("nut", 0), ("screw", 0), ("hnm", 0)]
+    meshes = [prim.make_instance(c, "train", i) for c, i in specs]
+    csgs = [make_csg_instance(c, "train", i) for c, i in specs]
+    lib = build_shape_lib(meshes, csgs, n_surf=32)
+    env = engine.StaticEnv.open_bin(cfg.bin_inner)
+    state, params = env_pile.reset(jax.random.PRNGKey(4), lib, cfg)
+    state = engine.rollout(state, params, lib, env, 200, dt=cfg.dt)
+    jax.block_until_ready(state)
+
+    cam = jnp.eye(4).at[:3, :3].set(
+        jnp.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])).at[2, 3].set(0.7)
+
+    for H, W in [(384, 512), (1544, 2064)]:
+        fx = 2257.75 * (W / 2064.0)
+        K = jnp.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1.0]])
+        out = {"H": H, "W": W, "ok": False}
+        try:
+            frames = {}
+            for name, flag in [("xla", "0"), ("pallas", "1")]:
+                os.environ["CATGRASP_PALLAS_RENDER"] = flag
+                t0 = time.perf_counter()
+                r = raymarch.render(lib, state, params, K, cam, H, W, env=env)
+                d = r["depth"]
+                jax.block_until_ready(d)
+                _ = float(jnp.sum(d))
+                compile_s = time.perf_counter() - t0
+                n_calls = 4
+                t0 = time.perf_counter()
+                for _i in range(n_calls):
+                    r = raymarch.render(lib, state, params, K, cam, H, W,
+                                        env=env)
+                _ = float(jnp.sum(r["depth"]))
+                dt = time.perf_counter() - t0
+                frames[name] = n_calls / dt
+                out[f"{name}_compile_s"] = round(compile_s, 1)
+                frames[name + "_depth"] = r["depth"]
+            err = float(jnp.max(jnp.abs(
+                jnp.nan_to_num(frames["pallas_depth"], nan=0.0, posinf=0.0)
+                - jnp.nan_to_num(frames["xla_depth"], nan=0.0, posinf=0.0))))
+            out.update(ok=True,
+                       pallas_frames_per_sec=round(frames["pallas"], 3),
+                       xla_frames_per_sec=round(frames["xla"], 3),
+                       max_t_err=err)
+        except Exception as e:  # noqa: BLE001 — trial must report, not crash
+            out["error"] = f"{type(e).__name__}: {e}"[:500]
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -101,3 +101,31 @@ def test_parallel_jaw_quality_ranks_grasps():
     assert q[0] > 0.05          # full wrap: solid closure
     assert q[2] == 0.0          # grasping air scores zero
     assert q[0] >= q[1]         # deeper engagement never scores worse
+
+
+def test_parallel_jaw_quality_penalizes_tip_sliver():
+    """Regression for the inverted engagement factor: a grasp capturing only
+    a few-mm sliver at the fingertip edge (the init_bite end of the depth
+    sweep — it closes on air in simulation) must score well below the same
+    object held deep in the channel, and below the 0.5 p_G gate after the
+    pipeline's clip(q/0.3)."""
+    from catgrasp_tpu.grasp.quality import parallel_jaw_quality
+    from catgrasp_tpu.sim.env_grasp import GripperSpec
+
+    spec = GripperSpec()
+    rng = np.random.default_rng(1)
+    # 30x20x8 mm slab (a lying nut's graspable rim)
+    pts = (rng.uniform(-1, 1, (400, 3)).astype(np.float32)
+           * [0.015, 0.010, 0.004])
+    nrm = np.zeros_like(pts)
+    nrm[:, 2] = 1
+    g_deep = np.eye(4, dtype=np.float32)
+    g_deep[0, 3] = -0.012  # slab center 12 mm past the root side -> deep
+    g_tip = np.eye(4, dtype=np.float32)
+    # slab near edge (x = -15 mm) lands 2 mm inside the fingertip plane
+    g_tip[0, 3] = -(spec.finger_len - 0.002) - 0.015
+    q = np.asarray(parallel_jaw_quality(
+        jnp.asarray(pts), jnp.asarray(nrm),
+        jnp.asarray(np.stack([g_deep, g_tip])), spec))
+    assert q[0] > 2 * q[1]
+    assert min(q[1] / 0.3, 1.0) < 0.5
