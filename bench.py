@@ -57,10 +57,12 @@ def bench_env_steps():
     states, params = jax.vmap(lambda k: env_pile.reset(k, lib, cfg))(keys)
 
     import os
-    if os.environ.get("CATGRASP_BENCH_FUSED", "0") == "1":
+    fused_default = "1" if jax.default_backend() == "tpu" else "0"
+    if os.environ.get("CATGRASP_BENCH_FUSED", fused_default) == "1":
         # fused Pallas rollout (ops/fused_rollout.py): whole step pipeline
-        # VMEM-resident.  Opt-in until the axon remote-compile path is
-        # verified for this kernel on the target runtime.
+        # VMEM-resident.  Default on TPU since the on-chip trial passed
+        # (logs/fused_trial.json: 220k fused vs 44k unfused steps/s, 5.0x);
+        # CPU keeps the XLA engine (interpret-mode Pallas is not a bench).
         from catgrasp_tpu.ops.fused_rollout import rollout_fused
 
         @jax.jit

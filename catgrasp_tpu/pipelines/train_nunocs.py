@@ -67,9 +67,11 @@ def main():
     example = jnp.zeros((bs, cfg["n_pts"], cfg.get("input_channel", 6)), jnp.float32)
     steps = max(len(ds) // bs, 1)
     state = create_state(model, cfg, example, steps)
+    start_epoch = 0
     if args.resume:
         from ..train.trainer import load_checkpoint
         state, ep = load_checkpoint(args.resume, state)
+        start_epoch = ep + 1
         print(f"resumed from {args.resume} (epoch {ep})")
 
     trainer = Trainer(
@@ -78,7 +80,8 @@ def main():
         val_data=(lambda: val.batches(bs, shuffle=False)) if val else None,
         ckpt_dir=args.ckpt_dir,
     )
-    trainer.fit(state, n_epochs=args.n_epochs, max_seconds=args.max_seconds)
+    trainer.fit(state, n_epochs=args.n_epochs, max_seconds=args.max_seconds,
+                start_epoch=start_epoch)
 
 
 if __name__ == "__main__":

@@ -70,15 +70,18 @@ def main():
     from ..train.trainer import TrainState, make_optimizer
     state = TrainState.create(apply_fn=model.apply, params=variables["params"],
                               tx=make_optimizer(cfg, max(len(ds) // args.batch_size, 1)))
+    start_epoch = 0
     if args.resume:
         from ..train.trainer import load_checkpoint
         state, ep = load_checkpoint(args.resume, state)
+        start_epoch = ep + 1
         print(f"resumed from {args.resume} (epoch {ep})")
 
     trainer = Trainer(model=model, cfg=cfg, loss_fn=loss_fn,
                       train_data=lambda: ds.batches(args.batch_size),
                       ckpt_dir=args.ckpt_dir)
-    trainer.fit(state, n_epochs=args.n_epochs, max_seconds=args.max_seconds)
+    trainer.fit(state, n_epochs=args.n_epochs, max_seconds=args.max_seconds,
+                start_epoch=start_epoch)
 
 
 if __name__ == "__main__":

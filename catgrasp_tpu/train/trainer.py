@@ -119,17 +119,23 @@ class Trainer:
 
     def fit(self, state: TrainState, n_epochs: int | None = None,
             log_every: int = 50, verbose: bool = True,
-            max_seconds: float | None = None) -> TrainState:
+            max_seconds: float | None = None,
+            start_epoch: int = 0) -> TrainState:
         """``max_seconds`` bounds wall clock: on expiry the partial epoch is
         scored and checkpointed like a full one, so a bounded run always
         leaves a usable ``best_train.ckpt`` (the reference trainer can only
-        be killed externally, losing the epoch in flight)."""
+        be killed externally, losing the epoch in flight).
+
+        ``start_epoch`` continues the epoch numbering of a resumed run (pass
+        ``loaded_epoch + 1``); a resumed run always trains at least one
+        epoch even if the loaded epoch already reached ``n_epochs``."""
         import time as _time
 
         from ..utils.metrics import MetricsLogger
         from ..utils import profiling
 
         n_epochs = n_epochs or self.cfg.get("n_epochs", 1)
+        n_epochs = max(n_epochs, start_epoch + 1)
         if max_seconds is None:
             max_seconds = self.cfg.get("max_seconds")
         t_start = _time.monotonic()
@@ -140,7 +146,7 @@ class Trainer:
                              run=type(self.model).__name__)
         sw = profiling.Stopwatch()
         expired = False
-        for epoch in range(n_epochs):
+        for epoch in range(start_epoch, n_epochs):
             loss_sum, loss_n, window = 0.0, 0, []
 
             def drain():
