@@ -137,7 +137,8 @@ def _trans(t) -> np.ndarray:
 
 def _place_with_arm(lib, state, params, env_bin, target, ob_in_grasp, width,
                     q_cur, base_in_world, gripper, T_fix, class_name, sym,
-                    obs_base, seed, spec, verbose, narrowphase="csg"):
+                    obs_base, seed, spec, verbose, narrowphase="csg",
+                    arm_dynamics=False):
     """Arm-executed place_action (reference ``run_grasp_simulation.py:375-463``):
     symmetry loop for an IK-feasible place orientation, RRT transport from the
     post-lift config to pre-place, Cartesian insertion descent, open fingers,
@@ -182,6 +183,8 @@ def _place_with_arm(lib, state, params, env_bin, target, ob_in_grasp, width,
     move = np.concatenate([simarm.resample_traj(path, N_MOVE_P - 40),
                            simarm.resample_traj(qs_d, 40)]).astype(np.float32)
     sched = np.concatenate([move, np.repeat(move[-1][None], N_DROP_P, axis=0)])
+    if arm_dynamics:
+        sched = simarm.dynamicize_schedule(sched).astype(np.float32)
     final, ob_pose_final, place_traj = simarm.execute_place_arm(
         lib, state, params, env_bin, jnp.int32(target), jnp.asarray(sched),
         jnp.asarray(base_in_world), jnp.asarray(ee_in_grasp),
@@ -254,7 +257,8 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                           render_hw=(384, 512), verbose: bool = True,
                           metrics_path: str | None = None, use_arm: bool = True,
                           arm_exec: bool = True, instance: int | None = None,
-                          obj_path: str | None = None):
+                          obj_path: str | None = None,
+                          arm_dynamics: bool = False):
     from ..utils.metrics import MetricsLogger
 
     mlog = MetricsLogger(metrics_path, run="eval", class_name=class_name,
@@ -679,6 +683,11 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                     app,
                     np.repeat(q_grasp[None], CLOSE_STEPS + LIFT_STEPS, axis=0),
                     simarm.resample_traj(qs_l, N_LIFT_A)]).astype(np.float32)
+                if arm_dynamics:
+                    # articulated-dynamics tracking of the schedule
+                    # (kin/dynamics.py): colliders follow the achieved
+                    # trajectory, not the ideal one
+                    sched = simarm.dynamicize_schedule(sched)
                 picked, state_after, ob_in_grasp, w_f, disturb = \
                     simarm.execute_pick_arm(
                         lib, state, params, env_bin, jnp.int32(target),
@@ -704,7 +713,8 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                         lib, state_after, params, env_bin, target,
                         np.asarray(ob_in_grasp), w_f, q_after_pick,
                         base_in_world, gripper, T_fix, class_name, sym,
-                        obs_base, seed, spec, verbose, narrowphase=geom)
+                        obs_base, seed, spec, verbose, narrowphase=geom,
+                        arm_dynamics=arm_dynamics)
                 else:
                     # fixture-world place (floating baseline): the grasp pose
                     # in the object frame reflects any in-hand slip from the
@@ -793,6 +803,9 @@ def main():
                          "(reference ob_name protocol; default from "
                          "config_run.yml instance_index; -1 = mixed "
                          "instances at jittered scales)")
+    ap.add_argument("--arm_dynamics", type=int, default=0,
+                    help="track arm schedules through articulated iiwa "
+                         "dynamics (kin/dynamics.py) before execution")
     ap.add_argument("--obj_path", default=None,
                     help="external watertight .obj to evaluate instead of the "
                          "procedural instances (baked-SDF physics + grid "
@@ -813,7 +826,8 @@ def main():
                               seed=args.seed, metrics_path=args.metrics,
                               use_arm=bool(args.use_arm),
                               arm_exec=bool(args.arm_exec),
-                              instance=args.instance, obj_path=args.obj_path)
+                              instance=args.instance, obj_path=args.obj_path,
+                              arm_dynamics=bool(args.arm_dynamics))
     print(f"num_objects={c.num_objects} num_attempts={c.num_attempts} "
           f"num_stable_grasp={c.num_stable_grasp} "
           f"num_task_grasp_succ={c.num_task_grasp_succ}")

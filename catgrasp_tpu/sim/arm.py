@@ -109,6 +109,24 @@ def resample_traj(waypoints: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+def dynamicize_schedule(qs: np.ndarray, dt: float = engine.DT,
+                        **kw) -> np.ndarray:
+    """Replace an idealized joint schedule with the trajectory a
+    force-limited PD-controlled articulated iiwa actually achieves tracking
+    it (:func:`catgrasp_tpu.kin.dynamics.track_schedule`).
+
+    Opt-in (``run_grasp_simulation --arm_dynamics 1``): the executors below
+    then step the *dynamically achieved* configurations through the scene —
+    the reference's force-controlled PyBullet arm semantics
+    (``p.setJointMotorControl2`` POSITION_CONTROL with force limits) instead
+    of ideal kinematic playback."""
+    from ..kin.dynamics import track_schedule
+    qs = np.asarray(qs, np.float32)
+    achieved, _ = track_schedule(jnp.asarray(qs[0]), jnp.asarray(qs), dt=dt,
+                                 **kw)
+    return np.asarray(achieved, np.float32)
+
+
 @partial(jax.jit, static_argnames=("spec", "n_app", "n_close", "n_hold", "narrowphase"))
 def execute_pick_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
                      env_bin: engine.StaticEnv, target: jnp.ndarray,

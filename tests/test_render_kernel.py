@@ -98,3 +98,31 @@ def test_march_kernel_respects_active_mask():
     ref, out = _render_pair(32, 128, env=True, inactive=1)
     assert 1 not in np.unique(np.asarray(out["seg"]))
     _assert_match(ref, out)
+
+
+def test_march_kernel_under_vmap_batch():
+    """render_batch (jax.vmap over the whole renderer) must batch the
+    pallas_call correctly — the bench/datagen path once the kernel is the
+    TPU default."""
+    import jax
+    lib, state, params, env_b = _pile_scene()
+    B = 3
+    states = jax.tree.map(lambda x: jnp.stack([x] * B), state)
+    # vary poses across the batch so batching bugs can't hide
+    states = states.replace(pos=states.pos + jnp.linspace(
+        0, 0.01, B)[:, None, None])
+    paramsb = jax.tree.map(lambda x: jnp.stack([x] * B), params)
+    H, W = 32, 128
+    K = jnp.array([[150.0, 0, W / 2], [0, 150.0, H / 2], [0, 0, 1.0]])
+    os.environ["CATGRASP_PALLAS_RENDER"] = "0"
+    ref = raymarch.render_batch(lib, states, paramsb, K, _cam(), H, W,
+                                env=env_b)
+    os.environ["CATGRASP_PALLAS_RENDER"] = "1"
+    try:
+        out = raymarch.render_batch(lib, states, paramsb, K, _cam(), H, W,
+                                    env=env_b)
+    finally:
+        del os.environ["CATGRASP_PALLAS_RENDER"]
+    for b in range(B):
+        _assert_match(jax.tree.map(lambda x: x[b], ref),
+                      jax.tree.map(lambda x: x[b], out))
