@@ -46,6 +46,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--class_name", default="nut")
     ap.add_argument("--data_root", default=None)
+    ap.add_argument("--val_root", default=None,
+                    help="packed val split for per-epoch val loss/best_val")
     ap.add_argument("--n_epochs", type=int, default=None)
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--ckpt_dir", default="artifacts/seg")
@@ -59,7 +61,9 @@ def main():
     root = args.data_root or f"dataset/{args.class_name}/train"
     ds = (packed.PackedSeg(root, cfg) if packed.is_packed(root)
           else SegDataset(root, cfg))
-    print(f"train scenes: {len(ds)}")
+    val = (packed.PackedSeg(args.val_root, cfg)
+           if args.val_root and packed.is_packed(args.val_root) else None)
+    print(f"train scenes: {len(ds)}" + (f", val: {len(val)}" if val else ""))
 
     model, loss_fn = build(cfg)
     n_pts = cfg.get("n_pts", 20000)
@@ -79,6 +83,9 @@ def main():
 
     trainer = Trainer(model=model, cfg=cfg, loss_fn=loss_fn,
                       train_data=lambda: ds.batches(args.batch_size),
+                      val_data=((lambda: val.batches(args.batch_size,
+                                                     shuffle=False))
+                                if val else None),
                       ckpt_dir=args.ckpt_dir)
     trainer.fit(state, n_epochs=args.n_epochs, max_seconds=args.max_seconds,
                 start_epoch=start_epoch)

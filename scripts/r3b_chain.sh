@@ -23,12 +23,18 @@ if [ ! -f logs/render_trial.json ]; then
 fi
 
 # ---- stage 1: nut scenes at the wide randomization (append 2048) --------
-if [ ! -f dataset/nut/train/0012879.npz ]; then
+# retry loop: the axon tunnel throws transient remote_compile INTERNAL
+# errors (one killed this stage on 8/17); resume from the last written id
+for attempt in 1 2 3; do
+  [ -f dataset/nut/train/0012879.npz ] && break
+  last=$(ls dataset/nut/train/ 2>/dev/null | tail -1 | sed 's/\.npz//;s/^0*//')
+  start=$(( ( (${last:-10831} + 1) / 16 ) * 16 ))
+  [ $start -lt 10832 ] && start=10832
   timeout 7200 python -m catgrasp_tpu.pipelines.generate_pile_data \
-    --class_name nut --split train --n_scenes 12880 --start 10832 \
+    --class_name nut --split train --n_scenes 12880 --start $start \
     --seed $((42 + 10832)) >> logs/gen_r3b_nut.log 2>&1
-  note "gen nut wide rc=$?"
-fi
+  note "gen nut wide attempt $attempt (start=$start) rc=$?"
+done
 if [ -f dataset/nut/train/0012879.npz ] && \
    [ ! dataset/nut/packed_train/meta.json -nt dataset/nut/train/0012879.npz ]; then
   rm -rf dataset/nut/packed_train

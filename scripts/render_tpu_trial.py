@@ -46,9 +46,12 @@ def main():
         fx = 2257.75 * (W / 2064.0)
         K = jnp.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1.0]])
         out = {"H": H, "W": W, "ok": False}
-        try:
-            frames = {}
-            for name, flag in [("xla", "0"), ("pallas", "1")]:
+        frames = {}
+        # per-path isolation: the XLA march materializes (P, N)-shaped
+        # per-step buffers and OOMs at full res; the VMEM-tiled kernel must
+        # still get its shot
+        for name, flag in [("xla", "0"), ("pallas", "1")]:
+            try:
                 os.environ["CATGRASP_PALLAS_RENDER"] = flag
                 t0 = time.perf_counter()
                 r = raymarch.render(lib, state, params, K, cam, H, W, env=env)
@@ -66,15 +69,15 @@ def main():
                 frames[name] = n_calls / dt
                 out[f"{name}_compile_s"] = round(compile_s, 1)
                 frames[name + "_depth"] = r["depth"]
+                out[f"{name}_frames_per_sec"] = round(frames[name], 3)
+            except Exception as e:  # noqa: BLE001 — report, don't crash
+                out[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+        if "pallas_depth" in frames and "xla_depth" in frames:
             err = float(jnp.max(jnp.abs(
                 jnp.nan_to_num(frames["pallas_depth"], nan=0.0, posinf=0.0)
                 - jnp.nan_to_num(frames["xla_depth"], nan=0.0, posinf=0.0))))
-            out.update(ok=True,
-                       pallas_frames_per_sec=round(frames["pallas"], 3),
-                       xla_frames_per_sec=round(frames["xla"], 3),
-                       max_t_err=err)
-        except Exception as e:  # noqa: BLE001 — trial must report, not crash
-            out["error"] = f"{type(e).__name__}: {e}"[:500]
+            out["max_t_err"] = err
+        out["ok"] = "pallas_frames_per_sec" in out
         print(json.dumps(out), flush=True)
 
     # batched path (render_batch = vmap over the kernel) at the bench's
