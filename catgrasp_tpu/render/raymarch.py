@@ -237,6 +237,37 @@ def render_batch(lib, states, params, K, cam_in_world, H, W, env=None, **kw):
     return jax.vmap(fn)(states, params)
 
 
+# Full-resolution frames (the reference camera is 2064x1544,
+# ``config.yml:1-3``) OOM a single dispatch: the march itself is tiled, but
+# the label passes materialize (P, N, 3) CSG intermediates over all ~3.2M
+# pixels.  Rendering row strips bounds that to (rows*W, N, 3); a strip is
+# exactly the full image's rows because shifting the principal point cy by
+# the strip offset reproduces the same pixel rays (rays depend on v only
+# through (v - cy)/fy).  Every strip shares one compiled executable.
+def render_chunked(lib, state, params, K, cam_in_world, H, W,
+                   env=None, rows_per_chunk: int = 256, **kw):
+    """:func:`render` in row strips of ``rows_per_chunk`` — identical output,
+    peak memory bounded by the strip size.  Use for full-resolution frames
+    (e.g. the reference's 2064x1544)."""
+    rows = min(rows_per_chunk, H)
+    outs = []
+    for r0 in range(0, H, rows):
+        hs = min(rows, H - r0)
+        if hs != rows:  # keep one executable: pad the last strip, crop after
+            r0 = H - rows
+            hs = rows
+            crop = rows - (H - len(outs) * rows)
+        else:
+            crop = 0
+        Ks = jnp.asarray(K).at[1, 2].add(-float(r0))
+        o = render(lib, state, params, Ks, cam_in_world, rows, W,
+                   env=env, **kw)
+        if crop:
+            o = {k: v[crop:] for k, v in o.items()}
+        outs.append(o)
+    return {k: jnp.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
+
+
 def visibility_ratio(lib, state, params, K, cam_in_world, H, W, env=None, **kw):
     """Per-body visibility: pixels visible in the full scene / pixels visible
     alone — the occlusion-ratio label of ``tool.py:229-275``.  Returns (N,)."""

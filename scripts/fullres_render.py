@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--n", type=int, default=4, help="frames to time")
     ap.add_argument("--H", type=int, default=1544)
     ap.add_argument("--W", type=int, default=2064)
+    ap.add_argument("--rows", type=int, default=256,
+                    help="row-strip size (a single full-res dispatch OOMs "
+                         "on the (P,N,3) label intermediates)")
     args = ap.parse_args()
 
     from catgrasp_tpu.geom import csg as csglib
@@ -49,12 +52,14 @@ def main():
     cam = jnp.eye(4).at[:3, :3].set(
         jnp.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])).at[2, 3].set(0.7)
 
-    out = raymarch.render(lib, state, params, K, cam, H, W, env=env)
+    rend = lambda: raymarch.render_chunked(lib, state, params, K, cam, H, W,
+                                           env=env, rows_per_chunk=args.rows)
+    out = rend()
     jax.block_until_ready(out)
     _ = float(jnp.sum(out["depth"]))  # force readback (axon async timing)
     t0 = time.perf_counter()
     for _ in range(args.n):
-        out = raymarch.render(lib, state, params, K, cam, H, W, env=env)
+        out = rend()
     jax.block_until_ready(out)
     _ = float(jnp.sum(out["depth"]))
     dt = (time.perf_counter() - t0) / args.n

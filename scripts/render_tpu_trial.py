@@ -50,11 +50,17 @@ def main():
         # per-path isolation: the XLA march materializes (P, N)-shaped
         # per-step buffers and OOMs at full res; the VMEM-tiled kernel must
         # still get its shot
+        # full res goes through render_chunked: a single dispatch OOMs on
+        # the (P, N, 3) label-pass intermediates at 3.2M pixels whichever
+        # way the march runs (logs/render_trial.json 8/17)
+        rend = (raymarch.render if H * W <= 1 << 20
+                else lambda *a, **k: raymarch.render_chunked(
+                    *a, rows_per_chunk=193, **k))
         for name, flag in [("xla", "0"), ("pallas", "1")]:
             try:
                 os.environ["CATGRASP_PALLAS_RENDER"] = flag
                 t0 = time.perf_counter()
-                r = raymarch.render(lib, state, params, K, cam, H, W, env=env)
+                r = rend(lib, state, params, K, cam, H, W, env=env)
                 d = r["depth"]
                 jax.block_until_ready(d)
                 _ = float(jnp.sum(d))

@@ -33,7 +33,9 @@ def test_rnea_decomposition():
     qdd = jnp.asarray(rng.uniform(-3, 3, 7))
     lhs = dyn.rnea(Q0, qd, qdd)
     rhs = dyn.mass_matrix(Q0) @ qdd + dyn.bias_forces(Q0, qd)
-    assert np.allclose(lhs, rhs, atol=1e-8)
+    # f32 chain: torques reach ~20 Nm, so the identity holds to relative
+    # precision, not an absolute 1e-8
+    assert np.allclose(lhs, rhs, rtol=1e-4, atol=1e-5)
 
 
 def test_energy_conserved_unforced():
