@@ -6,7 +6,11 @@ plugin; the jax.config update below does.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force, don't setdefault: the session profile exports JAX_PLATFORMS=axon,
+# and catgrasp_tpu/__init__.py re-applies the env var to jax.config on
+# import (its own tunnel workaround) — a setdefault here would let the
+# package re-promote the real TPU inside the test process
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
