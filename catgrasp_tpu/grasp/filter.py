@@ -235,11 +235,22 @@ def engagement_depth(points: jnp.ndarray, grasp_poses: jnp.ndarray,
 
     def one(T):
         pts_g = tf.transform_points(tf.pose_inverse(T), points)
+        # x bounded below at the palm face: a stray point BEHIND the palm
+        # (segmentation bleed from a neighbor) is a collision problem, not
+        # engagement — unbounded it clipped engagement to 1.0 for a grasp
+        # that hovers over air
         in_chan = ((jnp.abs(pts_g[:, 1]) <= spec.max_width / 2 + 1e-3)
                    & (jnp.abs(pts_g[:, 2]) <= spec.finger_depth / 2)
-                   & (pts_g[:, 0] <= fl))
+                   & (pts_g[:, 0] <= fl) & (pts_g[:, 0] >= -0.005))
         x = jnp.where(in_chan, pts_g[:, 0], fl)
-        depth = fl - jnp.min(x)
-        return jnp.clip(depth / fl, 0.0, 1.0) * jnp.any(in_chan)
+        # robust min: 3rd-smallest x, with out-of-channel slots pinned at fl.
+        # Depth maps bleed at object edges (a pixel interpolated between
+        # foreground and background lands mid-air); 1-2 such flying points
+        # faked deep engagement on hover grasps, which then closed on air in
+        # the learned loop.  Engagement therefore requires >= 3 supporting
+        # points — fewer reads as depth 0.
+        xs = jnp.sort(x)
+        depth = fl - xs[min(2, x.shape[0] - 1)]
+        return jnp.clip(depth / fl, 0.0, 1.0)
 
     return jax.vmap(one)(grasp_poses)

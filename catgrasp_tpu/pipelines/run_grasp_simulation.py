@@ -129,6 +129,31 @@ def execute_pick(lib, state: SceneState, params: SceneParams, env_bin,
 _execute_pick_jit = jax.jit(execute_pick, static_argnames=("spec", "narrowphase"))
 
 
+def rebind_target_to_channel(xyz: np.ndarray, seg_body: np.ndarray,
+                             grasp_cam: np.ndarray, target: int,
+                             active: np.ndarray, spec,
+                             n_objects: int) -> int:
+    """Sim-side target rebinding: the reference's PyBullet grasps whatever
+    sits between the fingers (``env.py:140`` closes on contact, body
+    unspecified); our closing law tracks ONE body.  A merged learned segment
+    can put the chosen grasp on a DIFFERENT body than the segment-majority
+    one — tracking the majority then closes to width 0 on air.  Returns the
+    active body with the most observed points inside this grasp's closing
+    channel (GT seg used for sim bookkeeping only), or ``target`` if the
+    channel is empty."""
+    vis = seg_body >= 0
+    p_g = (xyz[vis] - grasp_cam[:3, 3]) @ grasp_cam[:3, :3]
+    in_chan = ((np.abs(p_g[:, 1]) <= spec.max_width / 2 + 1e-3)
+               & (np.abs(p_g[:, 2]) <= spec.finger_depth / 2)
+               & (p_g[:, 0] <= spec.finger_len) & (p_g[:, 0] >= -0.005))
+    if not in_chan.any():
+        return target
+    cnt = np.bincount(seg_body[vis][in_chan].astype(np.int64),
+                      minlength=n_objects)[:n_objects]
+    cnt[~active] = 0
+    return int(cnt.argmax()) if cnt.any() else target
+
+
 def _trans(t) -> np.ndarray:
     T = np.eye(4, dtype=np.float32)
     T[:3, 3] = t
@@ -665,6 +690,15 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
             else:
                 pick = order[0]
             grasp_cam = grasps_cam[pick]
+            if learned_seg:
+                new_t = rebind_target_to_channel(
+                    xyz, np.asarray(seg_body), grasp_cam, target, active,
+                    spec, n_objects)
+                if new_t != target:
+                    if verbose:
+                        print(f"    target rebind {target} -> {new_t} "
+                              f"(grasp channel majority)")
+                    target = new_t
             grasp_world = jnp.asarray((cam @ grasp_cam).astype(np.float32))
 
             # --- execute pick ----------------------------------------------

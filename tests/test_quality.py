@@ -129,3 +129,79 @@ def test_parallel_jaw_quality_penalizes_tip_sliver():
         jnp.asarray(np.stack([g_deep, g_tip])), spec))
     assert q[0] > 2 * q[1]
     assert min(q[1] / 0.3, 1.0) < 0.5
+
+
+def test_engagement_depth_robust_to_flying_pixels():
+    """A hover grasp whose closing channel holds only 1-2 flying points
+    (depth-map edge bleed interpolates pixels mid-air) must NOT read as
+    engaged: the robust 3rd-smallest-x depth ignores them, while the round-3
+    single-min version returned engagement ~1.0 and the grasp closed on
+    air in the learned loop."""
+    from catgrasp_tpu.grasp.filter import engagement_depth
+    from catgrasp_tpu.sim.env_grasp import GripperSpec
+
+    spec = GripperSpec()
+    rng = np.random.default_rng(0)
+    # object surface 10 mm PAST the fingertip plane (hover grasp)
+    surf = (rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+            * [0.002, 0.010, 0.008] + [spec.finger_len + 0.010, 0, 0])
+    g = np.eye(4, dtype=np.float32)
+    # two flying pixels mid-channel
+    fly = np.array([[0.010, 0.001, 0.0], [0.015, -0.002, 0.001]], np.float32)
+    pts = np.concatenate([surf, fly])
+    eng = float(np.asarray(engagement_depth(
+        jnp.asarray(pts), jnp.asarray(g[None]), spec))[0])
+    assert eng < 0.08  # below the pipeline's viability gate
+
+    # ...but a genuinely engaged grasp (many in-channel points) still reads
+    # its true depth
+    deep = (rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+            * [0.002, 0.010, 0.008] + [0.020, 0, 0])
+    eng_deep = float(np.asarray(engagement_depth(
+        jnp.asarray(deep), jnp.asarray(g[None]), spec))[0])
+    assert eng_deep > 0.4
+
+
+def test_engagement_depth_ignores_points_behind_palm():
+    """Segmentation bleed can put a neighbor's point BEHIND the palm face;
+    unbounded x that point clipped engagement to 1.0 for a grasp hovering
+    over air."""
+    from catgrasp_tpu.grasp.filter import engagement_depth
+    from catgrasp_tpu.sim.env_grasp import GripperSpec
+
+    spec = GripperSpec()
+    behind = np.tile(np.array([[-0.03, 0.0, 0.0]], np.float32), (5, 1))
+    g = np.eye(4, dtype=np.float32)
+    eng = float(np.asarray(engagement_depth(
+        jnp.asarray(behind), jnp.asarray(g[None]), spec))[0])
+    assert eng == 0.0
+
+
+def test_rebind_target_to_channel():
+    """When a merged learned segment puts the chosen grasp on body 1 but the
+    segment-majority vote said body 0, the sim must track body 1 — the body
+    actually between the fingers (the reference's PyBullet grabs whatever is
+    there)."""
+    from catgrasp_tpu.pipelines.run_grasp_simulation import \
+        rebind_target_to_channel
+    from catgrasp_tpu.sim.env_grasp import GripperSpec
+
+    spec = GripperSpec()
+    rng = np.random.default_rng(0)
+    # "image" of 200 px: body 0 far away, body 1 inside the grasp channel
+    pts0 = (rng.uniform(-1, 1, (100, 3)).astype(np.float32)
+            * [0.01, 0.01, 0.004] + [0.3, 0.3, 0.0])
+    pts1 = (rng.uniform(-1, 1, (100, 3)).astype(np.float32)
+            * [0.01, 0.01, 0.004] + [0.02, 0.0, 0.0])
+    xyz = np.concatenate([pts0, pts1]).reshape(20, 10, 3)
+    seg_body = np.concatenate([np.zeros(100, np.int32),
+                               np.ones(100, np.int32)]).reshape(20, 10)
+    g = np.eye(4, dtype=np.float32)
+    active = np.ones(2, bool)
+    assert rebind_target_to_channel(xyz, seg_body, g, 0, active, spec, 2) == 1
+    # inactive bodies never win
+    active1 = np.array([True, False])
+    assert rebind_target_to_channel(xyz, seg_body, g, 0, active1, spec, 2) == 0
+    # empty channel -> keep the original target
+    g_air = np.eye(4, dtype=np.float32); g_air[2, 3] = 5.0
+    assert rebind_target_to_channel(xyz, seg_body, g_air, 0, active, spec, 2) == 0
