@@ -29,7 +29,7 @@ import numpy as np
 from ..core import transforms as tf
 from ..kin import iiwa
 from ..ops import collision as pallas_collision
-from ..sim.env_grasp import GripperSpec, finger_boxes
+from ..sim.env_grasp import GripperSpec, closing_channel_mask, finger_boxes
 
 ADJUST_OFFSETS = np.array([0.0, 1e-3, -1e-3, 2e-3, -2e-3, 3e-3, -3e-3], dtype=np.float32)
 # approach-depth adjust extension (deepest collision-free engagement wins):
@@ -232,16 +232,15 @@ def engagement_depth(points: jnp.ndarray, grasp_poses: jnp.ndarray,
     p(T,G) alone, which saturates in oracle mode and is blind to engagement.
     """
     fl = spec.finger_len
+    if points.shape[0] < 3:
+        # the robust min below needs >= 3 supporting points; with a 1-2
+        # point cloud it would degrade to the 2nd/1st smallest and flying
+        # pixels could fake engagement again (static shape: plain Python if)
+        return jnp.zeros(grasp_poses.shape[0], points.dtype)
 
     def one(T):
         pts_g = tf.transform_points(tf.pose_inverse(T), points)
-        # x bounded below at the palm face: a stray point BEHIND the palm
-        # (segmentation bleed from a neighbor) is a collision problem, not
-        # engagement — unbounded it clipped engagement to 1.0 for a grasp
-        # that hovers over air
-        in_chan = ((jnp.abs(pts_g[:, 1]) <= spec.max_width / 2 + 1e-3)
-                   & (jnp.abs(pts_g[:, 2]) <= spec.finger_depth / 2)
-                   & (pts_g[:, 0] <= fl) & (pts_g[:, 0] >= -0.005))
+        in_chan = closing_channel_mask(pts_g, spec)
         x = jnp.where(in_chan, pts_g[:, 0], fl)
         # robust min: 3rd-smallest x, with out-of-channel slots pinned at fl.
         # Depth maps bleed at object edges (a pixel interpolated between

@@ -182,7 +182,10 @@ def parallel_jaw_quality(cloud: jnp.ndarray, normals: jnp.ndarray,
         # (palm at x=0, tips at finger_len) — tip-held objects (contacts
         # only near x=finger_len, so fl - min_x ~ 0) shake loose under
         # perturbation; that is the signal the reference's physics-trained
-        # quality net encodes.  Same measure as filter.engagement_depth.
+        # quality net encodes.  NOTE: filter.engagement_depth has since
+        # hardened to a robust 3rd-smallest-x with a palm-face bound; the
+        # single-min here stays valid because the >=4-contact ``ok`` gate
+        # already screens out flying-pixel contact sets.
         contacts = m_pos | m_neg
         depth = (spec.finger_len
                  - jnp.min(jnp.where(contacts, pg[:, 0], spec.finger_len))

@@ -26,6 +26,18 @@ def load_params(path: str, template_params):
     return serialization.from_bytes(template_params, blob["params"])
 
 
+def _init_template(model, *args):
+    """Param-structure template WITHOUT compiling/running the init program.
+
+    ``model.init`` would jit the whole forward pass just to produce shapes;
+    under the axon remote-compile tunnel that costs minutes per net (the
+    round-3 eval chain lost its whole hour to exactly this).  ``eval_shape``
+    traces abstractly — no compile, no device work — and
+    ``serialization.from_bytes`` only needs the pytree STRUCTURE."""
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), *args)
+    return shapes["params"]
+
+
 def _ckpt(dir_: str) -> str:
     """Prefer best_val (the reference evaluates on best-val weights);
     ``last.ckpt`` (periodic mid-epoch save) is the final fallback."""
@@ -53,7 +65,7 @@ def load_predicters(artifact_dir: str = "artifacts", class_name: str = "nut",
             p = NunocsPredicter.create({}, n_bins=bins,
                                        n_pts=cfg.get("n_pts", 2048))
             x = jnp.zeros((1, p.n_pts, cfg.get("input_channel", 6)))
-            template = p.model.init(jax.random.PRNGKey(0), x)["params"]
+            template = _init_template(p.model, x)
             out["nocs"] = NunocsPredicter(p.model, load_params(_ckpt(d), template),
                                           bins, p.n_pts)
     if "grasp" in roles:
@@ -64,7 +76,7 @@ def load_predicters(artifact_dir: str = "artifacts", class_name: str = "nut",
             p = GraspPredicter.create({}, n_bins=n_bins,
                                       n_pts=cfg.get("n_pts", 1024))
             x = jnp.zeros((1, p.n_pts, cfg.get("input_channel", 6)))
-            template = p.model.init(jax.random.PRNGKey(0), x)["params"]
+            template = _init_template(p.model, x)
             out["grasp"] = GraspPredicter(p.model, load_params(_ckpt(d), template),
                                           p.n_pts)
     if "seg" in roles:
@@ -77,7 +89,7 @@ def load_predicters(artifact_dir: str = "artifacts", class_name: str = "nut",
                                     n_pts=cfg.get("n_pts", 20000))
             n = p.n_pts
             args = (jnp.zeros((n, 3)), jnp.zeros((n, 3)), jnp.zeros(3))
-            template = p.model.init(jax.random.PRNGKey(0), *args)["params"]
+            template = _init_template(p.model, *args)
             # MeanShift bandwidth calibrated to THIS net's offset-noise
             # floor (scripts/calibrate_bandwidth.py writes calib.json at
             # export); falls back to the class table in predicter.py

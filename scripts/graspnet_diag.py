@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--artifacts", default=None)
     ap.add_argument("--val_root", default=None)
     ap.add_argument("--n", type=int, default=4096, help="held-out grasps to score")
+    ap.add_argument("--out", default="logs/graspnet_diag.jsonl",
+                    help="append the metrics as one JSON line (tracked "
+                         "evidence; VERDICT r3: quality claims must be "
+                         "reproducible from committed artifacts)")
     args = ap.parse_args()
 
     import jax
@@ -84,6 +88,17 @@ def main():
     print(f"{args.class_name}: n={len(labels)} | spearman(expq, score) = {rho:.3f} | "
           f"val CE {ce:.3f} (marginal entropy {ent:.3f}) | exact-bin acc {acc:.3f} "
           f"| within-1-bin {top3:.3f}")
+    if args.out:
+        import datetime
+        import json
+        row = {"class": args.class_name, "artifacts": art, "n": int(len(labels)),
+               "spearman": round(rho, 4), "val_ce": round(ce, 4),
+               "marginal_entropy": round(ent, 4), "acc": round(acc, 4),
+               "within1": round(top3, 4),
+               "utc": datetime.datetime.utcnow().strftime("%Y-%m-%dT%H:%M:%SZ")}
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(row) + "\n")
 
 
 if __name__ == "__main__":

