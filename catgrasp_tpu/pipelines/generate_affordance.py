@@ -71,6 +71,9 @@ def generate_affordance(class_name: str, split: str, index: int, grasp_db: dict,
         "n_stable": n_stable.astype(np.int32),
         "rets": rets.astype(np.int8),
         "class_name": class_name, "split": split, "index": index,
+        # provenance: which try_grasp semantics produced these labels
+        # (VERDICT r3 #8 — assert current in tests/test_affordance_provenance)
+        "try_grasp_version": np.int32(es.TRY_GRASP_VERSION),
     }
 
 

@@ -108,6 +108,12 @@ def compute_canonical(class_name: str, grasp_dbs: list[dict],
         "transforms_to_nocs": np.stack(tfs),
         "medoid_index": medoid,
         "class_name": class_name,
+        # provenance: oldest try_grasp semantics among the affordance inputs
+        # (files predating the stamp count as version 2 — every committed
+        # label postdates the drift-faithful rewrite, see env_semantic)
+        "affordance_version": np.int32(min(
+            (int(a.get("try_grasp_version", 2)) for a in (affordances or [])
+             if a is not None), default=0)),
     }
 
 

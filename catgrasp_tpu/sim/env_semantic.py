@@ -33,6 +33,14 @@ from . import engine
 from .env_grasp import GripperSpec, finger_boxes, finger_contact_points, grasp_rollout
 from .types import SceneParams, SceneState, ShapeLib
 
+# Provenance stamp for affordance labels (VERDICT r3 #8): bump whenever
+# try_grasp/place semantics change in a way that invalidates existing
+# per-instance affordance npz files.
+#   v2 = drift-faithful try_grasp (post-close drift carried through insert
+#        AND drop, fingers-only insertion sweep; commit 3498151) — every
+#        label committed at/after 004d086 was produced by this code.
+TRY_GRASP_VERSION = 2
+
 # Task poses relative to the fixture origin: (pre-place, place) object poses
 # — the ``place_pose_dict`` analog (``Utils.py:15-24``), adapted to the
 # procedural fixtures of geom.primitives.place_fixture.
@@ -200,14 +208,27 @@ def place_and_drop(lib: ShapeLib, obj_shape: jnp.ndarray,
                    grasp_in_ob: jnp.ndarray, class_name: str,
                    width: jnp.ndarray, spec: GripperSpec = GripperSpec(),
                    n_waypoints: int = 8, drop_steps: int = 60,
-                   narrowphase: str = "csg") -> jnp.ndarray:
+                   narrowphase: str = "csg",
+                   grasp_in_ob_cmd: jnp.ndarray | None = None) -> jnp.ndarray:
     """The closed-loop ``place_action`` (``run_grasp_simulation.py:375-463``):
     insert an ALREADY-HELD object along pre->place waypoints (gripper +
     object vs fixture collision sweep), open, drop, class placement check.
     Unlike :func:`try_grasp` there is no free-space close-and-shake — the
     pick already verified the hold physically in the pile.  Returns a bool.
+
+    ``grasp_in_ob`` is the ACTUAL post-close in-hand pose (incl. slip);
+    ``grasp_in_ob_cmd`` is the COMMANDED one (the controller believes the
+    object still sits where it closed).  The gripper is steered so the
+    believed object pose tracks the waypoints — so in-hand slip tilts and
+    offsets the real object through the sweep AND the drop, exactly as the
+    arm-executed path models it.  Defaults to ``grasp_in_ob`` (no slip).
     """
     pre_t, place_t = [jnp.asarray(t, jnp.float32) for t in TASK_POSES[class_name]]
+    if grasp_in_ob_cmd is None:
+        grasp_in_ob_cmd = grasp_in_ob
+    # believed -> actual object correction: where the object REALLY is,
+    # relative to where the controller thinks it holds it
+    slip = grasp_in_ob_cmd @ tf.pose_inverse(grasp_in_ob)
 
     alphas = jnp.linspace(0.0, 1.0, n_waypoints)
     ob_pos_path = pre_t[None] * (1 - alphas[:, None]) + place_t[None] * alphas[:, None]
@@ -220,13 +241,17 @@ def place_and_drop(lib: ShapeLib, obj_shape: jnp.ndarray,
     grip_pts_g = _gripper_sample_points(spec, width, n_boxes=3)
 
     def waypoint_collides(ob_pos):
-        ob_pose = jnp.eye(4).at[:3, 3].set(ob_pos)
-        grasp_w = ob_pose @ grasp_in_ob
+        believed = jnp.eye(4).at[:3, 3].set(ob_pos)
+        grasp_w = believed @ grasp_in_ob_cmd
         gp_w = tf.transform_points(grasp_w, grip_pts_g)
         d_grip = csglib.csg_sdf(fixture_csg, gp_w)
         return jnp.min(d_grip) < 5e-4
 
     blocked = jnp.any(jax.vmap(waypoint_collides)(ob_pos_path))
+    # release pose of the REAL object: believed pose at place_t, composed
+    # with the in-hand slip (was: identity orientation at place_t, which
+    # silently discarded the tilt try_grasp/execute_pick model)
+    ob_release = jnp.eye(4).at[:3, 3].set(place_t) @ slip
 
     FIXTURE_MASS = 1e9
     shape_ids = jnp.stack([obj_shape, fixture_shape_idx])
@@ -239,7 +264,9 @@ def place_and_drop(lib: ShapeLib, obj_shape: jnp.ndarray,
         friction=params.friction.at[1].set(0.1),
     )
     st = SceneState.create(2).replace(
-        pos=jnp.stack([place_t, jnp.zeros(3)]),
+        pos=jnp.stack([ob_release[:3, 3], jnp.zeros(3)]),
+        quat=jnp.stack([tf.matrix_to_quat(ob_release[:3, :3]),
+                        tf.quat_identity()]),
         active=jnp.array([True, True]),
     )
     no_env = engine.StaticEnv.boxes(
