@@ -80,22 +80,13 @@ def execute_pick(lib, state: SceneState, params: SceneParams, env_bin,
         pts_w = st.pos[target] + (lib.surf_pts[params.shape_id[target]]
                                   * params.scale[target]) @ R.T
         pts_g = tf.transform_points(tf.pose_inverse(grasp_in_world), pts_w)
-        from ..sim.env_grasp import _object_pen_in_fingers
-        pen = _object_pen_in_fingers(pts_g, w, spec)
-        dv_allow = jnp.maximum(spec.max_squeeze_pen - pen, 0.0) * 2.0
-        dv = jnp.where(closing, jnp.minimum(spec.close_speed * dt, dv_allow), 0.0)
-        w_new = jnp.maximum(w - dv, 0.0)
+        from ..sim.env_grasp import closing_step
+        w_new, dv = closing_step(pts_g, w, closing, spec, dt)
 
         genv = gripper_env(grasp_in_world, w_new, dv / dt, spec)
         # merge bin + gripper colliders
-        merged = engine.StaticEnv(
-            center=jnp.concatenate([env_bin.center, genv.center]),
-            half=jnp.concatenate([env_bin.half, genv.half]),
-            quat=jnp.concatenate([env_bin.quat, genv.quat]),
-            vel=jnp.concatenate([env_bin.vel, genv.vel]),
-            friction=jnp.concatenate([env_bin.friction, genv.friction]),
-            enabled=jnp.concatenate([env_bin.enabled, genv.enabled]),
-        )
+        from ..sim.arm import merge_envs
+        merged = merge_envs(env_bin, genv)
         st = engine.step(st, params, lib, merged, dt=dt, gravity=-9.8,
                          narrowphase=narrowphase)
         keep = (st.pos[target], st.quat[target])
@@ -143,9 +134,8 @@ def rebind_target_to_channel(xyz: np.ndarray, seg_body: np.ndarray,
     channel is empty."""
     vis = seg_body >= 0
     p_g = (xyz[vis] - grasp_cam[:3, 3]) @ grasp_cam[:3, :3]
-    in_chan = ((np.abs(p_g[:, 1]) <= spec.max_width / 2 + 1e-3)
-               & (np.abs(p_g[:, 2]) <= spec.finger_depth / 2)
-               & (p_g[:, 0] <= spec.finger_len) & (p_g[:, 0] >= -0.005))
+    from ..sim.env_grasp import closing_channel_mask
+    in_chan = closing_channel_mask(p_g, spec)
     if not in_chan.any():
         return target
     cnt = np.bincount(seg_body[vis][in_chan].astype(np.int64),
@@ -750,14 +740,19 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                         obs_base, seed, spec, verbose, narrowphase=geom,
                         arm_dynamics=arm_dynamics)
                 else:
-                    # fixture-world place (floating baseline): the grasp pose
-                    # in the object frame reflects any in-hand slip from the
-                    # pick
+                    # fixture-world place (floating baseline): the ACTUAL
+                    # in-hand pose reflects pick slip; the COMMANDED one is
+                    # where the controller believes it closed (pre-pick
+                    # object pose vs the commanded grasp) — place_and_drop
+                    # steers by the belief and drops the reality
                     grasp_in_ob = tf.pose_inverse(jnp.asarray(ob_in_grasp))
+                    T_ob_pre = tf.pose_from_qt(state.quat[target],
+                                               state.pos[target])
+                    cmd = tf.pose_inverse(T_ob_pre) @ grasp_world
                     placed = bool(es.place_and_drop(
                         lib, shape_id[target], jnp.int32(fixture_idx),
                         scale[target], grasp_in_ob, class_name, w_f, spec,
-                        narrowphase=geom))
+                        narrowphase=geom, grasp_in_ob_cmd=cmd))
                 mlog.event("place", round=rnd, attempt=attempt, placed=placed,
                            slip=float(np.linalg.norm(
                                np.asarray(ob_in_grasp)[:3, 3] - [0.02, 0, 0])))

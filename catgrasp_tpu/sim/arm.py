@@ -26,7 +26,7 @@ import numpy as np
 from ..core import transforms as tf
 from ..kin import iiwa
 from . import engine
-from .env_grasp import GripperSpec, _object_pen_in_fingers, gripper_env
+from .env_grasp import GripperSpec, closing_step, gripper_env
 from .types import SceneParams, SceneState, ShapeLib
 
 # segment radii base->S, S->E, E->W, W->F (matches kin.planner.LINK_RADII)
@@ -42,6 +42,7 @@ def merge_envs(*envs: engine.StaticEnv) -> engine.StaticEnv:
         vel=jnp.concatenate([e.vel for e in envs]),
         friction=jnp.concatenate([e.friction for e in envs]),
         enabled=jnp.concatenate([e.enabled for e in envs]),
+        imp_budget=jnp.concatenate([e.imp_budget for e in envs]),
     )
 
 
@@ -84,6 +85,7 @@ def arm_env(q: jnp.ndarray, q_prev: jnp.ndarray, base_in_world: jnp.ndarray,
     return engine.StaticEnv(
         center=c, half=h, quat=qt, vel=(c - c_prev) / dt,
         friction=jnp.full((4,), friction), enabled=jnp.ones((4,), bool),
+        imp_budget=jnp.full((4,), jnp.inf),
     )
 
 
@@ -172,10 +174,7 @@ def execute_pick_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
         pts_w = st.pos[target] + (lib.surf_pts[params.shape_id[target]]
                                   * params.scale[target]) @ R.T
         pts_g = tf.transform_points(tf.pose_inverse(G_t), pts_w)
-        pen = _object_pen_in_fingers(pts_g, w, spec)
-        dv_allow = jnp.maximum(spec.max_squeeze_pen - pen, 0.0) * 2.0
-        dv = jnp.where(closing, jnp.minimum(spec.close_speed * dt, dv_allow), 0.0)
-        w_new = jnp.maximum(w - dv, 0.0)
+        w_new, dv = closing_step(pts_g, w, closing, spec, dt)
 
         genv = gripper_env(G_t, w_new, dv / dt, spec)
         aenv = arm_env(q, q_prev, base_in_world, dt)

@@ -51,9 +51,14 @@ class StaticEnv:
     vel: jnp.ndarray  # (M, 3)
     friction: jnp.ndarray  # (M,)
     enabled: jnp.ndarray  # (M,) bool
+    # per-step normal-impulse budget (N·s) each collider may deliver across
+    # all its contacts — the force limit of the reference's POSITION_CONTROL
+    # finger motors (``env_grasp.py:56-62``: maxForce 100 N -> budget
+    # 100·dt).  inf = unbounded (bin walls, floor).
+    imp_budget: jnp.ndarray  # (M,)
 
     @staticmethod
-    def boxes(centers, halves, quats=None, friction=0.7):
+    def boxes(centers, halves, quats=None, friction=0.7, imp_budget=None):
         import numpy as np
 
         centers = jnp.asarray(centers, jnp.float32)
@@ -61,6 +66,8 @@ class StaticEnv:
         halves = jnp.asarray(halves, jnp.float32)
         if quats is None:
             quats = jnp.zeros((m, 4)).at[:, 0].set(1.0)
+        if imp_budget is None:
+            imp_budget = jnp.full((m,), jnp.inf)
         return StaticEnv(
             center=centers,
             half=halves,
@@ -68,6 +75,7 @@ class StaticEnv:
             vel=jnp.zeros((m, 3)),
             friction=jnp.full((m,), friction),
             enabled=jnp.ones((m,), bool),
+            imp_budget=jnp.asarray(imp_budget, jnp.float32),
         )
 
     @staticmethod
@@ -257,6 +265,17 @@ def _solve_contacts(state: SceneState, params: SceneParams, lib: ShapeLib,
 
         jn = (-v_n + bias) / K_n
         jn = jnp.where(in_contact, jnp.maximum(jn, 0.0), 0.0)
+
+        # impulse-budget clamp for kinematic colliders (finger motors): each
+        # env collider may deliver at most imp_budget/n_iter of normal
+        # impulse per iteration across all its contacts (conservative: the
+        # Jacobi 1/denom averaging only shrinks what is delivered).  Bin
+        # walls/floor ship budget=inf so this is a no-op for them.
+        env_tot = jnp.sum(jn[:, :, N:], axis=(0, 1))  # (M_env,)
+        env_fac = jnp.minimum(1.0, (env.imp_budget / n_iter)
+                              / jnp.maximum(env_tot, 1e-12))
+        fac = jnp.concatenate([jnp.ones(N), env_fac])
+        jn = jn * fac[None, None, :]
 
         v_t = v_rel - v_n[..., None] * nrm
         vt_norm = jnp.linalg.norm(v_t, axis=-1)

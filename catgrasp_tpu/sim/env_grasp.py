@@ -69,6 +69,20 @@ class GripperSpec:
         return -0.005
 
 
+def closing_channel_mask(pts_g, spec: GripperSpec, y_slack: float = 1e-3):
+    """Points (in the GRASP frame) inside the channel the fingers close
+    through: |y| within the jaw opening, |z| within the finger depth, and x
+    between the palm bound (``init_bite`` — a stray point BEHIND the palm is
+    a collision problem, not something the fingers can hold) and the
+    fingertip plane.  Shared by ``grasp.filter.engagement_depth`` and the
+    eval loop's ``rebind_target_to_channel`` so the two can't drift; works
+    on numpy and jax arrays alike (elementwise ops only)."""
+    return ((abs(pts_g[:, 1]) <= spec.max_width / 2 + y_slack)
+            & (abs(pts_g[:, 2]) <= spec.finger_depth / 2)
+            & (pts_g[:, 0] <= spec.finger_len)
+            & (pts_g[:, 0] >= spec.init_bite))
+
+
 def finger_boxes(width: jnp.ndarray, spec: GripperSpec):
     """Centers/halves (grasp frame) of [finger+, finger-, palm] boxes for a
     given opening ``width`` (distance between finger inner faces)."""
@@ -93,7 +107,8 @@ def finger_boxes(width: jnp.ndarray, spec: GripperSpec):
 
 
 def gripper_env(T_grasp: jnp.ndarray, width: jnp.ndarray, finger_vel: jnp.ndarray,
-                spec: GripperSpec, friction: float = 0.9) -> engine.StaticEnv:
+                spec: GripperSpec, friction: float = 0.9,
+                dt: float = engine.DT) -> engine.StaticEnv:
     """Gripper as 3 kinematic world-frame boxes (finger+, finger-, palm)."""
     centers_g, halves = finger_boxes(width, spec)
     R = T_grasp[:3, :3]
@@ -110,6 +125,11 @@ def gripper_env(T_grasp: jnp.ndarray, width: jnp.ndarray, finger_vel: jnp.ndarra
         vel=vel,
         friction=jnp.full((3,), friction),
         enabled=jnp.ones((3,), bool),
+        # the reference's finger motors are POSITION_CONTROL with maxForce
+        # 100 N (env_grasp.py:56-62): each finger (and the palm, rigidly
+        # attached to the same wrist) may deliver at most max_force*dt of
+        # normal impulse per engine step
+        imp_budget=jnp.full((3,), spec.max_force * dt),
     )
 
 
@@ -122,6 +142,28 @@ def _object_pen_in_fingers(obj_pts_grasp: jnp.ndarray, width: jnp.ndarray, spec:
     return jnp.maximum(-jnp.min(d), 0.0)
 
 
+def closing_step(obj_pts_grasp: jnp.ndarray, width: jnp.ndarray,
+                 closing: jnp.ndarray, spec: GripperSpec, dt: float):
+    """One tick of the force-limited closing law, shared by every consumer
+    (``grasp_rollout``, the in-pile pick in ``pipelines.run_grasp_simulation``
+    and the arm executor in ``sim.arm``) so they cannot drift.
+
+    Reference semantics: POSITION_CONTROL finger motors with maxForce 100 N
+    (``env_grasp.py:56-62,127-131``).  Two mechanisms model the limit here:
+    the opening advances only while squeeze penetration is below
+    ``max_squeeze_pen`` (the compliance the reference's 100 N develops
+    against PyBullet's contact ERP — calibration in GripperSpec), and the
+    engine separately clamps each finger collider's delivered impulse at
+    ``max_force*dt`` per step (``StaticEnv.imp_budget``).
+
+    Returns ``(new_width, dv)`` where dv is the opening decrease this tick
+    (callers derive the finger velocity as ``dv/dt``)."""
+    pen = _object_pen_in_fingers(obj_pts_grasp, width, spec)
+    dv_allow = jnp.maximum(spec.max_squeeze_pen - pen, 0.0) * 2.0
+    dv = jnp.where(closing, jnp.minimum(spec.close_speed * dt, dv_allow), 0.0)
+    return jnp.maximum(width - dv, 0.0), dv
+
+
 def open_gripper_collision(obj_pts_grasp: jnp.ndarray, spec: GripperSpec) -> jnp.ndarray:
     """Open-gripper collision test (reference: ``PU.body_collision`` at
     ``env_grasp.py:91``): any object point inside any gripper box at full
@@ -132,10 +174,11 @@ def open_gripper_collision(obj_pts_grasp: jnp.ndarray, spec: GripperSpec) -> jnp
     return jnp.any(d < 0.0)
 
 
-@partial(jax.jit, static_argnames=("spec", "narrowphase"))
+@partial(jax.jit, static_argnames=("spec", "narrowphase", "dt", "n_iter"))
 def grasp_rollout(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
                   grasp_in_ob: jnp.ndarray, spec: GripperSpec = GripperSpec(),
-                  friction: float = 0.7, narrowphase: str = "csg"):
+                  friction: float = 0.7, narrowphase: str = "csg",
+                  dt: float = engine.DT, n_iter: int = engine.N_ITER):
     """Close-then-shake rollout; returns a dict with everything downstream
     consumers need (success gate, final in-hand pose, closing width,
     open-gripper collision flag).  vmap over leading axes for batches.
@@ -154,28 +197,27 @@ def grasp_rollout(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
     pts_grasp0 = tf.transform_points(T_inv, obj_pts0)
     collided = open_gripper_collision(pts_grasp0, spec)
 
-    dt = engine.DT
     w0 = jnp.asarray(spec.max_width)
+    # step counts scale with dt so the protocol's physical durations (50
+    # steps at 240 Hz each for close and shake) are dt-invariant — the
+    # self-parity harness sweeps dt to bound solver sensitivity
+    n_close = int(round(N_CLOSE_STEPS * engine.DT / dt))
+    n_shake = int(round(N_SHAKE_STEPS * engine.DT / dt))
 
     def step_fn(carry, i):
         st, w = carry
-        closing = i < N_CLOSE_STEPS
-        gravity_on = i >= N_CLOSE_STEPS
+        closing = i < n_close
+        gravity_on = i >= n_close
 
-        # force-limited closing: advance only while squeeze penetration is
-        # below the cap (max_force proxy)
         R = tf.quat_to_matrix(st.quat[0])
         pts_w = st.pos[0] + lib.surf_pts[shape_id] * scale @ R.T
         pts_g = tf.transform_points(T_inv, pts_w)
-        pen = _object_pen_in_fingers(pts_g, w, spec)
-        dv_allow = jnp.maximum(spec.max_squeeze_pen - pen, 0.0) * 2.0
-        dv = jnp.where(closing, jnp.minimum(spec.close_speed * dt, dv_allow), 0.0)
-        w_new = jnp.maximum(w - dv, 0.0)
+        w_new, dv = closing_step(pts_g, w, closing, spec, dt)
 
-        env = gripper_env(T_grasp, w_new, dv / dt, spec, gripper_friction)
+        env = gripper_env(T_grasp, w_new, dv / dt, spec, gripper_friction, dt=dt)
         g = jnp.where(gravity_on, SHAKE_GRAVITY, 0.0)
         st = engine.step(st, params, lib, env, dt=dt, gravity=g,
-                         narrowphase=narrowphase)
+                         n_iter=n_iter, narrowphase=narrowphase)
         return (st, w_new), None
 
     # two scans so the post-close (pre-gravity) state is observable: the
@@ -183,10 +225,10 @@ def grasp_rollout(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
     # stability test (``env_semantic_grasp.py:103-120``) — contacts and the
     # attached in-hand pose come from the close phase only
     (post_close, w_close), _ = jax.lax.scan(
-        step_fn, (state, w0), jnp.arange(N_CLOSE_STEPS))
+        step_fn, (state, w0), jnp.arange(n_close))
     (final, w_final), _ = jax.lax.scan(
         step_fn, (post_close, w_close),
-        jnp.arange(N_CLOSE_STEPS, N_CLOSE_STEPS + N_SHAKE_STEPS))
+        jnp.arange(n_close, n_close + n_shake))
     disp = jnp.linalg.norm(final.pos[0])
     success = (~collided) & (disp <= SUCCESS_DISP)
     ob_pose_final = tf.pose_from_qt(final.quat[0], final.pos[0])
@@ -202,11 +244,12 @@ def grasp_rollout(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
 
 def verify_grasp(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
                  grasp_in_ob: jnp.ndarray, spec: GripperSpec = GripperSpec(),
-                 friction: float = 0.7, narrowphase: str = "csg") -> jnp.ndarray:
+                 friction: float = 0.7, narrowphase: str = "csg",
+                 dt: float = engine.DT, n_iter: int = engine.N_ITER) -> jnp.ndarray:
     """``EnvGrasp.verify_grasp`` (``env_grasp.py:87-108``): success bool.
     Object starts at identity so ``grasp_in_world == grasp_in_ob``."""
     return grasp_rollout(lib, shape_id, scale, grasp_in_ob, spec, friction,
-                         narrowphase)["success"]
+                         narrowphase, dt=dt, n_iter=n_iter)["success"]
 
 
 verify_grasp_batch = jax.jit(
@@ -215,11 +258,12 @@ verify_grasp_batch = jax.jit(
 )
 
 
-@partial(jax.jit, static_argnames=("trials", "spec", "narrowphase"))
+@partial(jax.jit, static_argnames=("trials", "spec", "narrowphase", "dt", "n_iter"))
 def perturbation_scores(key: jax.Array, lib: ShapeLib, shape_id: jnp.ndarray,
                         scale: jnp.ndarray, grasp_poses: jnp.ndarray,
                         trials: int = 50, spec: GripperSpec = GripperSpec(),
-                        friction: float = 0.7, narrowphase: str = "csg") -> jnp.ndarray:
+                        friction: float = 0.7, narrowphase: str = "csg",
+                        dt: float = engine.DT, n_iter: int = engine.N_ITER) -> jnp.ndarray:
     """Perturbation-robustness score per grasp: (G, 4, 4) -> (G,) in [0,1].
 
     Protocol of ``compute_perturbation_score`` (``env_grasp.py:111-119``):
@@ -231,7 +275,8 @@ def perturbation_scores(key: jax.Array, lib: ShapeLib, shape_id: jnp.ndarray,
     perturbed = jnp.einsum("gij,gtjk->gtik", grasp_poses, offsets)
 
     def one(T):
-        return verify_grasp(lib, shape_id, scale, T, spec, friction, narrowphase)
+        return verify_grasp(lib, shape_id, scale, T, spec, friction,
+                            narrowphase, dt=dt, n_iter=n_iter)
 
     succ = jax.vmap(jax.vmap(one))(perturbed)
     return jnp.mean(succ.astype(jnp.float32), axis=-1)
