@@ -20,6 +20,7 @@ S-R-S gate, `kin/iiwa.py:ik_feasible`), the reference's per-pose ikfast call
 inside ``filterGraspPose`` (``common.cpp:214-226``).
 """
 import json
+import os
 import time
 
 import jax
@@ -142,18 +143,33 @@ def bench_render():
     cam = jnp.eye(4).at[:3, :3].set(
         jnp.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])).at[2, 3].set(0.7)
 
-    run = jax.jit(lambda st, p: raymarch.render_batch(
-        lib, st, p, K, cam, H, W, env=env))
-    out = run(states, params)
-    jax.block_until_ready(out)
-    _readback(out["depth"])
-    n_calls = 8
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
-        out = run(states, params)
-    _readback(out["depth"])
-    dt_wall = time.perf_counter() - t0
-    return B * n_calls / dt_wall
+    # config ladder: Pallas march + lax.map scene chunking bounds peak
+    # memory at ~1 frame (full-vmap batch-8 OOMs a v5e,
+    # logs/render_trial.json) and runs at ~the single-frame kernel rate.
+    # CATGRASP_BENCH_RENDER_MODE=pallas2|pallas1|xla pins one config;
+    # default tries the ladder and falls back.
+    modes = {"pallas2": ("1", 2), "pallas1": ("1", 1), "xla": ("0", None)}
+    pin = os.environ.get("CATGRASP_BENCH_RENDER_MODE")
+    ladder = [modes[pin]] if pin else [modes["pallas2"], modes["xla"]]
+    last_err = None
+    for flag, chunk in ladder:
+        try:
+            os.environ["CATGRASP_PALLAS_RENDER"] = flag
+            run = jax.jit(lambda st, p: raymarch.render_batch(
+                lib, st, p, K, cam, H, W, env=env, scene_chunk=chunk))
+            out = run(states, params)
+            jax.block_until_ready(out)
+            _readback(out["depth"])
+            n_calls = 8
+            t0 = time.perf_counter()
+            for _ in range(n_calls):
+                out = run(states, params)
+            _readback(out["depth"])
+            dt_wall = time.perf_counter() - t0
+            return B * n_calls / dt_wall
+        except Exception as e:  # noqa: BLE001 — fall down the ladder
+            last_err = e
+    raise last_err
 
 
 def bench_ik_gate():

@@ -167,28 +167,54 @@ def generate_scenes(class_name: str, split: str, n_scenes: int, out_dir: str,
         key, _ = jax.random.split(key)
     scene_id = start
     pending = None
-    while scene_id < n_scenes:
-        key, sub = jax.random.split(key)
-        nxt = make_batch(sub)  # dispatch (async) before draining the previous
-        if pending is None:
+    # round-3 data gen was npz-bound at ~190 scenes/min with the chip idle
+    # (this is a 1-CPU host): np.savez_compressed hardcodes zlib's default
+    # level 6.  A level-1 deflate writer is ~4x cheaper for ~25% bigger
+    # files (np.load reads the zip-of-npy identically), and the writer
+    # thread overlaps compression with the TPU's next batch (zlib releases
+    # the GIL while the main thread waits on device fetches).
+    import zipfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from numpy.lib import format as npformat
+
+    futures = []
+
+    def _write(path, payload):
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED,
+                             compresslevel=1) as zf:
+            for k, v in payload.items():
+                with zf.open(k + ".npy", "w") as f:
+                    npformat.write_array(f, np.asarray(v),
+                                         allow_pickle=False)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        while scene_id < n_scenes:
+            key, sub = jax.random.split(key)
+            nxt = make_batch(sub)  # dispatch (async) before draining the previous
+            if pending is None:
+                pending = nxt
+                continue
+            states, params, cams, enc, vis, poses = jax.tree.map(np.asarray, pending)
             pending = nxt
-            continue
-        states, params, cams, enc, vis, poses = jax.tree.map(np.asarray, pending)
-        pending = nxt
-        for b in range(min(batch, n_scenes - scene_id)):
-            np.savez_compressed(
-                f"{out_dir}/{scene_id:07d}.npz",
-                rgb=enc["rgb"][b], depth=enc["depth"][b], seg=enc["seg"][b],
-                nocs=enc["nocs"][b], normal=enc["normal"][b],
-                ob_in_world=poses[b].astype(np.float32),
-                scales=params.scale[b], shape_id=params.shape_id[b],
-                active=states.active[b], vis_ratio=vis[b],
-                K=K, cam_in_world=cams[b], class_name=class_name,
-            )
-            scene_id += 1
-        print(f"{scene_id}/{n_scenes} scenes", flush=True)
-    if pending is not None and scene_id < n_scenes:
-        pass  # unreachable: loop drains before exit
+            for b in range(min(batch, n_scenes - scene_id)):
+                payload = dict(
+                    rgb=enc["rgb"][b], depth=enc["depth"][b], seg=enc["seg"][b],
+                    nocs=enc["nocs"][b], normal=enc["normal"][b],
+                    ob_in_world=poses[b].astype(np.float32),
+                    scales=params.scale[b], shape_id=params.shape_id[b],
+                    active=states.active[b], vis_ratio=vis[b],
+                    K=K, cam_in_world=cams[b], class_name=class_name,
+                )
+                futures.append(pool.submit(
+                    _write, f"{out_dir}/{scene_id:07d}.npz", payload))
+                scene_id += 1
+            # bound the in-flight queue (each payload is ~1 MB of host copies)
+            while len(futures) > 64:
+                futures.pop(0).result()
+            print(f"{scene_id}/{n_scenes} scenes", flush=True)
+        for f in futures:
+            f.result()  # surface any writer exception before returning
     return out_dir
 
 

@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--ckpt_dir", default="artifacts/seg")
     ap.add_argument("--resume", default=None, help="checkpoint to resume from")
+    ap.add_argument("--init_params", default=None,
+                    help="params-only warm start (e.g. a tracked eval "
+                         "export); fresh optimizer — the cross-session "
+                         "continuation path since only git survives wipes")
     ap.add_argument("--max_seconds", type=float, default=None,
                     help="wall-clock bound; partial epoch is checkpointed")
     args = ap.parse_args()
@@ -80,6 +84,10 @@ def main():
         state, ep = load_checkpoint(args.resume, state)
         start_epoch = ep + 1
         print(f"resumed from {args.resume} (epoch {ep})")
+    elif args.init_params:
+        from ..train.trainer import warm_start_params
+        state = warm_start_params(args.init_params, state)
+        print(f"warm-started params from {args.init_params}")
 
     trainer = Trainer(model=model, cfg=cfg, loss_fn=loss_fn,
                       train_data=lambda: ds.batches(args.batch_size),

@@ -231,10 +231,26 @@ def _render_impl(lib: ShapeLib, state: SceneState, params: SceneParams,
     }
 
 
-def render_batch(lib, states, params, K, cam_in_world, H, W, env=None, **kw):
-    """vmapped render over a scene batch (leading axis of states/params)."""
+def render_batch(lib, states, params, K, cam_in_world, H, W, env=None,
+                 scene_chunk: int | None = None, **kw):
+    """Render a scene batch (leading axis of states/params).
+
+    ``scene_chunk=None`` vmaps the whole batch — peak memory scales with B
+    (the label passes materialize (B, P, N, 3) intermediates; batch-8 at
+    384x512 OOMs a v5e, ``logs/render_trial.json``).  A small ``scene_chunk``
+    runs the batch as a sequential ``lax.map`` of vmapped sub-batches: one
+    compiled program, peak memory bounded by the chunk, throughput ~= the
+    single-frame rate (the march saturates the chip per frame already)."""
     fn = lambda s, p: render(lib, s, p, K, cam_in_world, H, W, env=env, **kw)
-    return jax.vmap(fn)(states, params)
+    B = states.pos.shape[0]
+    if scene_chunk is None or scene_chunk >= B:
+        return jax.vmap(fn)(states, params)
+    if B % scene_chunk:
+        raise ValueError(f"scene_chunk {scene_chunk} must divide batch {B}")
+    resh = lambda x: x.reshape((B // scene_chunk, scene_chunk) + x.shape[1:])
+    sc = jax.tree.map(resh, (states, params))
+    out = jax.lax.map(lambda sp: jax.vmap(fn)(*sp), sc)
+    return jax.tree.map(lambda x: x.reshape((B,) + x.shape[2:]), out)
 
 
 # Full-resolution frames (the reference camera is 2064x1544,

@@ -261,3 +261,14 @@ def load_checkpoint(path: str, state: TrainState) -> tuple[TrainState, int]:
     opt_state = serialization.from_bytes(state.opt_state, blob["opt_state"])
     state = state.replace(params=params, opt_state=opt_state, step=blob["step"])
     return state, blob["epoch"]
+
+
+def warm_start_params(path: str, state: TrainState) -> TrainState:
+    """Seed ONLY the params from a checkpoint (full training blob or the
+    params-only eval exports in ``artifacts_tracked/``), keeping a fresh
+    optimizer.  This is the cross-session continuation path: the VM is wiped
+    between sessions and only the tracked params-only exports survive in
+    git, so ``--resume`` (which needs opt_state) cannot span sessions."""
+    blob = read_checkpoint_blob(path)
+    params = serialization.from_bytes(state.params, blob["params"])
+    return state.replace(params=params)
