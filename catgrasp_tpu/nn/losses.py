@@ -47,6 +47,22 @@ def grasp_quality_ce(logits: jnp.ndarray, score_bins: jnp.ndarray) -> jnp.ndarra
     return optax.softmax_cross_entropy_with_integer_labels(logits, score_bins).mean()
 
 
+def grasp_quality_ordinal(logits: jnp.ndarray, score_bins: jnp.ndarray) -> jnp.ndarray:
+    """Ordinal auxiliary for the grasp-quality head: the 10 bins are ORDERED
+    perturbation scores, which plain CE ignores (predicting bin 9 for a
+    bin-0 grasp costs the same as predicting bin 1).  Penalize the expected
+    bin index under the softmax against the label bin — this is the
+    quantity the ranking diagnostic (Spearman of expq vs score,
+    ``scripts/graspnet_diag.py``) and the eval loop's p_G ordering actually
+    consume.  Smooth-L1 so bin-9-vs-0 outliers do not dominate."""
+    p = jax.nn.softmax(logits, axis=-1)
+    expq = jnp.sum(p * jnp.arange(logits.shape[-1], dtype=p.dtype), axis=-1)
+    err = (expq - score_bins.astype(p.dtype)) / (logits.shape[-1] - 1.0)
+    return jnp.mean(jnp.where(jnp.abs(err) < 0.1,
+                              0.5 * err * err / 0.1,
+                              jnp.abs(err) - 0.05))
+
+
 def offset_loss(pred_offsets: jnp.ndarray, gt_offsets: jnp.ndarray,
                 valid: jnp.ndarray) -> jnp.ndarray:
     """Instance-center offset regression: L1 distance + cosine direction

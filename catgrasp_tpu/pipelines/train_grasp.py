@@ -10,7 +10,7 @@ import numpy as np
 from ..config.loader import load_config
 from ..data import packed
 from ..data.datasets import GraspDataset
-from ..nn.losses import grasp_quality_ce
+from ..nn.losses import grasp_quality_ce, grasp_quality_ordinal
 from ..nn.pointnet import PointNetCls, feature_transform_regularizer
 from ..train.trainer import Trainer, create_state
 
@@ -22,6 +22,10 @@ def build(cfg: dict):
         logits, trans_feat = apply_fn({"params": params}, batch["x"], train=True,
                                       rngs={"dropout": rng})
         loss = grasp_quality_ce(logits, batch["label"])
+        # ordinal aux (cfg ordinal_weight, default 1.0): drives the expected
+        # bin toward the label bin — the ranking signal p_G ordering uses
+        loss = loss + cfg.get("ordinal_weight", 1.0) * grasp_quality_ordinal(
+            logits, batch["label"])
         loss = loss + 1e-3 * feature_transform_regularizer(trans_feat)
         acc = jnp.mean((jnp.argmax(logits, -1) == batch["label"]).astype(jnp.float32))
         return loss, {"acc": acc}

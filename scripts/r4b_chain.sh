@@ -78,7 +78,10 @@ gcommit "r4: affordance labels regenerated with try_grasp_version stamps; canoni
   dataset/hnm_canonical.npz logs/aff_r4.log logs/canonical_r4.log logs/r4b_chain.log
 
 # ---- C: nut scenes at the wide distribution (fresh disk: VM was wiped) ----
-for attempt in 1 2 3 4; do
+# two bounded attempts (resume on transient axon errors); proceed with
+# whatever exists past 8k scenes — training on a partial wide set still
+# beats round 3's narrow 10.8k
+for attempt in 1 2; do
   [ -f dataset/nut/train/0019999.npz ] && break
   last=$(ls dataset/nut/train/ 2>/dev/null | tail -1 | sed 's/\.npz//;s/^0*//')
   start=$(( ( (${last:--1} + 1) / 16 ) * 16 ))
@@ -87,6 +90,7 @@ for attempt in 1 2 3 4; do
     --seed 4242 >> logs/gen_r4_nut.log 2>&1
   note "gen nut train attempt $attempt (start=$start) rc=$?"
 done
+note "gen nut train: $(ls dataset/nut/train 2>/dev/null | wc -l) scenes on disk"
 for attempt in 1 2; do
   [ -f dataset/nut/val/0000999.npz ] && break
   last=$(ls dataset/nut/val/ 2>/dev/null | tail -1 | sed 's/\.npz//;s/^0*//')

@@ -120,3 +120,20 @@ def test_offset_loss_masked():
     pred2 = pred.at[0].set(100.0)
     valid2 = valid.at[0].set(False)
     assert float(offset_loss(pred2, gt, valid2)) < 1e-6
+
+
+def test_grasp_quality_ordinal_ranks_distance():
+    """Ordinal aux must grow with bin distance (CE is distance-blind)."""
+    from catgrasp_tpu.nn.losses import grasp_quality_ordinal
+    import jax.numpy as jnp
+    lab = jnp.array([0])
+    near = jnp.zeros((1, 10)).at[0, 1].set(8.0)   # predicts bin 1
+    far = jnp.zeros((1, 10)).at[0, 9].set(8.0)    # predicts bin 9
+    exact = jnp.zeros((1, 10)).at[0, 0].set(8.0)  # predicts bin 0
+    l_exact = float(grasp_quality_ordinal(exact, lab))
+    l_near = float(grasp_quality_ordinal(near, lab))
+    l_far = float(grasp_quality_ordinal(far, lab))
+    assert l_exact < l_near < l_far
+    ce_near = float(__import__("optax").softmax_cross_entropy_with_integer_labels(near, lab).mean())
+    ce_far = float(__import__("optax").softmax_cross_entropy_with_integer_labels(far, lab).mean())
+    assert abs(ce_near - ce_far) < 1e-5  # CE really is distance-blind here
