@@ -2,6 +2,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +65,23 @@ def main():
     val = (packed.PackedGrasp(args.val_root, cfg, phase="val")
            if args.val_root and packed.is_packed(args.val_root) else None)
     print(f"train items: {len(ds)}" + (f", val items: {len(val)}" if val else ""))
+
+    # Natural bin marginal of the TRAIN set.  Training samples uniformly over
+    # bins (balance_bins), so the net estimates p(bin|x) under a uniform
+    # prior; eval/inference on naturally distributed grasps must reweight by
+    # this prior (Bayes: p_nat(bin|x) ∝ p_bal(bin|x)·π(bin)) or CE reads
+    # above the marginal entropy even when ranking improves (round-3 finding).
+    import json
+    classes = np.asarray(cfg["classes"], np.float32)
+    tr_scores = np.asarray(ds.score if hasattr(ds, "score")
+                           else [k[2] for k in ds.keys], np.float32)
+    bins = np.digitize(tr_scores, classes) - 1
+    prior = (np.bincount(bins, minlength=len(classes) - 1) + 1.0)
+    prior = prior / prior.sum()
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+    with open(os.path.join(args.ckpt_dir, "prior.json"), "w") as f:
+        json.dump({"bin_prior": prior.tolist(), "n": int(len(bins)),
+                   "balanced_training": bool(cfg.get("balance_bins", True))}, f)
 
     model, loss_fn = build(cfg)
     bs = cfg["batch_size"]

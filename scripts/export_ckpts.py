@@ -46,11 +46,12 @@ def main():
         with open(out, "wb") as f:
             f.write(serialization.msgpack_serialize(slim))
         print(f"{net}: {src} -> {out} ({os.path.getsize(out)/1e6:.1f} MB)")
-        calib = os.path.join(src_dir, "calib.json")
-        if os.path.exists(calib):
-            import shutil
-            shutil.copy(calib, os.path.join(args.dst, net, "calib.json"))
-            print(f"{net}: copied calib.json")
+        for extra in ("calib.json", "prior.json"):
+            p = os.path.join(src_dir, extra)
+            if os.path.exists(p):
+                import shutil
+                shutil.copy(p, os.path.join(args.dst, net, extra))
+                print(f"{net}: copied {extra}")
 
 
 if __name__ == "__main__":

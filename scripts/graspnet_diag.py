@@ -78,6 +78,22 @@ def main():
     scores = np.concatenate(scores)
 
     nb = probs.shape[1]
+    ce_raw = float(-np.log(np.maximum(probs[np.arange(len(labels)), labels], 1e-9)).mean())
+    # Bayes prior correction: the net trains on bin-BALANCED draws
+    # (config_grasp balance_bins), so its softmax estimates p(bin|x) under a
+    # uniform prior.  Posterior for the natural distribution is
+    # p(bin|x) ∝ p_bal(bin|x)·π(bin) with π the train-set marginal
+    # (prior.json written by train_grasp).  Without this, val CE reads above
+    # the marginal entropy by up to KL(π‖uniform) even when the net ranks
+    # well — the round-3 "worse than the histogram" artifact.
+    prior_path = os.path.join(art, "grasp", "prior.json")
+    corrected = os.path.exists(prior_path)
+    if corrected:
+        import json as _json
+        with open(prior_path) as f:
+            pri = np.asarray(_json.load(f)["bin_prior"], np.float64)
+        probs = probs * pri[None, :]
+        probs = probs / probs.sum(-1, keepdims=True)
     expq = (probs * (np.arange(nb) + 0.5) / nb).sum(-1)
     ce = float(-np.log(np.maximum(probs[np.arange(len(labels)), labels], 1e-9)).mean())
     acc = float((probs.argmax(-1) == labels).mean())
@@ -86,13 +102,15 @@ def main():
     p_marg = np.bincount(labels, minlength=nb) / len(labels)
     ent = float(-(p_marg[p_marg > 0] * np.log(p_marg[p_marg > 0])).sum())
     print(f"{args.class_name}: n={len(labels)} | spearman(expq, score) = {rho:.3f} | "
-          f"val CE {ce:.3f} (marginal entropy {ent:.3f}) | exact-bin acc {acc:.3f} "
+          f"val CE {ce:.3f} raw {ce_raw:.3f} prior_corrected={corrected} "
+          f"(marginal entropy {ent:.3f}) | exact-bin acc {acc:.3f} "
           f"| within-1-bin {top3:.3f}")
     if args.out:
         import datetime
         import json
         row = {"class": args.class_name, "artifacts": art, "n": int(len(labels)),
                "spearman": round(rho, 4), "val_ce": round(ce, 4),
+               "val_ce_raw": round(ce_raw, 4), "prior_corrected": corrected,
                "marginal_entropy": round(ent, 4), "acc": round(acc, 4),
                "within1": round(top3, 4),
                "utc": datetime.datetime.utcnow().strftime("%Y-%m-%dT%H:%M:%SZ")}
