@@ -1,14 +1,19 @@
 #!/bin/bash
 # Round-4b chain (run AFTER r4_eval_chain.sh): the improvement half of the
-# evidence-and-convergence round.
-#   A. kernel trials (chunked-batch + full-res Pallas render; fixes the 8/17
-#      trial that timed the wrong path) + physics self-parity evidence
-#   B. affordance regeneration with provenance stamps (all 29 instances,
-#      VERDICT r3 #8) + canonical rebuild
-#   C. nut training data at the wide distribution (VERDICT r3 #5)
+# evidence-and-convergence round, trimmed to the wall clock actually left
+# after the eval matrices and ordered by value-per-minute:
+#   C. nut training data at the wide distribution (VERDICT r3 #5; 12k/1k —
+#      partial wide beats round 3's narrow 10.8k, full 20k is r5 work)
 #   D. long grasp/seg/nunocs training warm-started from the tracked r3b
-#      params (VERDICT r3 #3) + calib + export + TRACKED diag jsonl
-#   E. post-training learned-nut spot eval (did new weights help?)
+#      params (VERDICT r3 #3) + calib + export + TRACKED prior-corrected
+#      diag jsonl (scripts/graspnet_diag.py)
+#   E. post-training learned-nut spot eval (did new weights help?  same
+#      canonical as the r4 matrix so weights are the only variable)
+#   A. kernel trials (chunked-batch + full-res Pallas render) + physics
+#      self-parity evidence (VERDICT r3 #6/#9)
+#   B. affordance regeneration with provenance stamps, nut first (VERDICT
+#      r3 #8; nut/1 is the un-repaired suspect) + nut canonical rebuild.
+#      Runs LAST so stage E's canonical matches the r4 matrix.
 # Single TPU client: stages run alone.  Every stage is idempotent,
 # wall-clock bounded, and commits its evidence immediately.
 set -u
@@ -29,72 +34,16 @@ No-Verification-Needed: chain evidence logs/data artifacts only" -- "$@"
 }
 note "=== r4b chain start ==="
 
-# ---- A: kernel trials + self-parity --------------------------------------
-if [ ! -f logs/render_trial_r4.json ]; then
-  timeout 1800 python scripts/render_tpu_trial.py \
-    > logs/render_trial_r4.json 2> logs/render_trial_r4.err
-  note "render trial rc=$? $(tail -c 400 logs/render_trial_r4.json)"
-  gcommit "r4: render kernel trial (chunked batch + full-res strips)" \
-    logs/render_trial_r4.json logs/r4b_chain.log
-fi
-if [ ! -f logs/physics_selfparity.jsonl ]; then
-  timeout 3600 python scripts/physics_selfparity.py --trials 50 --n_grasps 24 \
-    > logs/selfparity_run.log 2>&1
-  note "selfparity rc=$?"
-  gcommit "r4: physics self-parity evidence (narrowphase/dt/n_iter KS)" \
-    logs/physics_selfparity.jsonl logs/selfparity_run.log logs/r4b_chain.log
-fi
-
-# ---- B: affordance regeneration with stamps + canonicals ------------------
-# stage deadline: nut first (the class whose canonical the demos use); if
-# the whole stage would blow the round budget, later instances stay legacy
-# (provenance documented via git history, tests skip them)
-aff_t0=$(date +%s)
-aff_ok=1
-for spec in nut:12 screw:9 hnm:8; do
-  c=${spec%%:*}; n=${spec##*:}
-  for i in $(seq 0 $((n - 1))); do
-    if [ $(( $(date +%s) - aff_t0 )) -gt 5400 ]; then
-      note "affordance stage deadline hit; skipping from $c/$i"
-      break 2
-    fi
-    # already stamped current? (cheap python check)
-    python - "$c" "$i" <<'EOF' && continue
-import sys
-import numpy as np
-c, i = sys.argv[1], sys.argv[2]
-try:
-    d = np.load(f"dataset/affordance/{c}_train_{i}_affordance.npz")
-    sys.exit(0 if int(d.get("try_grasp_version", -1)) >= 2 else 1)
-except Exception:
-    sys.exit(1)
-EOF
-    timeout 900 python -m catgrasp_tpu.pipelines.generate_affordance \
-      --class_name $c --index $i \
-      --grasp_db dataset/grasps/${c}_train_${i}_complete_grasp.npz \
-      >> logs/aff_r4.log 2>&1 || aff_ok=0
-    note "affordance $c/$i rc=$?"
-  done
-done
-for c in nut screw hnm; do
-  timeout 1200 python -m catgrasp_tpu.pipelines.make_canonical --class_name $c \
-    >> logs/canonical_r4.log 2>&1
-  note "canonical $c rc=$?"
-done
-gcommit "r4: affordance labels regenerated with try_grasp_version stamps; canonicals rebuilt" \
-  dataset/affordance dataset/nut_canonical.npz dataset/screw_canonical.npz \
-  dataset/hnm_canonical.npz logs/aff_r4.log logs/canonical_r4.log logs/r4b_chain.log
-
 # ---- C: nut scenes at the wide distribution (fresh disk: VM was wiped) ----
-# two bounded attempts (resume on transient axon errors); proceed with
-# whatever exists past 8k scenes — training on a partial wide set still
-# beats round 3's narrow 10.8k
+# bounded attempts (resume on transient axon errors); proceed with whatever
+# exists past 8k scenes — training on a partial wide set still beats round
+# 3's narrow 10.8k
 for attempt in 1 2; do
-  [ -f dataset/nut/train/0019999.npz ] && break
+  [ -f dataset/nut/train/0011999.npz ] && break
   last=$(ls dataset/nut/train/ 2>/dev/null | tail -1 | sed 's/\.npz//;s/^0*//')
   start=$(( ( (${last:--1} + 1) / 16 ) * 16 ))
-  timeout 5400 python -m catgrasp_tpu.pipelines.generate_pile_data \
-    --class_name nut --split train --n_scenes 20000 --start $start \
+  timeout 4200 python -m catgrasp_tpu.pipelines.generate_pile_data \
+    --class_name nut --split train --n_scenes 12000 --start $start \
     --seed 4242 >> logs/gen_r4_nut.log 2>&1
   note "gen nut train attempt $attempt (start=$start) rc=$?"
 done
@@ -109,7 +58,7 @@ for attempt in 1 2; do
   note "gen nut val attempt $attempt rc=$?"
 done
 if [ ! -f dataset/nut/packed_train/meta.json ]; then
-  timeout 5400 python -m catgrasp_tpu.pipelines.pack_training_data \
+  timeout 4200 python -m catgrasp_tpu.pipelines.pack_training_data \
     --class_name nut --split train --out_dir dataset/nut/packed_train \
     >> logs/pack_r4.log 2>&1
   note "pack nut train rc=$?"
@@ -140,9 +89,9 @@ trainnet() { # net seconds extra...
     && touch artifacts/nut/.${net}_done_r4
   note "train $net rc=$? $(tail -c 200 logs/train_${net}_r4_nut.log | tr '\n' ' ')"
 }
-trainnet grasp 3600
-trainnet seg 1500 --batch_size 8
-trainnet nunocs 1200
+trainnet grasp 2400
+trainnet seg 1200 --batch_size 8
+trainnet nunocs 900
 timeout 1200 python scripts/calibrate_bandwidth.py --class_name nut \
   >> logs/calib_r4.log 2>&1
 note "calib rc=$?"
@@ -169,4 +118,57 @@ if [ ! -f logs/evalm_r4b_learned_nut.done ]; then
     logs/eval_matrix_r4b.jsonl logs/evalm_r4b_learned_nut.log \
     logs/evalm_r4b_learned_nut.done logs/r4b_chain.log
 fi
+
+# ---- A: kernel trials + self-parity --------------------------------------
+if [ ! -f logs/render_trial_r4.json ]; then
+  timeout 1800 python scripts/render_tpu_trial.py \
+    > logs/render_trial_r4.json 2> logs/render_trial_r4.err
+  note "render trial rc=$? $(tail -c 400 logs/render_trial_r4.json)"
+  gcommit "r4: render kernel trial (chunked batch + full-res strips)" \
+    logs/render_trial_r4.json logs/render_trial_r4.err logs/r4b_chain.log
+fi
+if [ ! -f logs/physics_selfparity.jsonl ]; then
+  timeout 2400 python scripts/physics_selfparity.py --trials 30 --n_grasps 24 \
+    > logs/selfparity_run.log 2>&1
+  note "selfparity rc=$?"
+  gcommit "r4: physics self-parity evidence (narrowphase/dt/n_iter KS)" \
+    logs/physics_selfparity.jsonl logs/selfparity_run.log logs/r4b_chain.log
+fi
+
+# ---- B: affordance regeneration with stamps + nut canonical ----------------
+# stage deadline: nut first (the class whose canonical the demos use; nut/1
+# is the un-repaired rc=1 suspect from r3).  Instances the deadline skips
+# stay legacy (provenance documented via git history, tests skip them).
+aff_t0=$(date +%s)
+for spec in nut:12 screw:9 hnm:8; do
+  c=${spec%%:*}; n=${spec##*:}
+  for i in $(seq 0 $((n - 1))); do
+    if [ $(( $(date +%s) - aff_t0 )) -gt 2400 ]; then
+      note "affordance stage deadline hit; skipping from $c/$i"
+      break 2
+    fi
+    # already stamped current? (cheap python check)
+    python - "$c" "$i" <<'EOF' && continue
+import sys
+import numpy as np
+c, i = sys.argv[1], sys.argv[2]
+try:
+    d = np.load(f"dataset/affordance/{c}_train_{i}_affordance.npz")
+    sys.exit(0 if int(d.get("try_grasp_version", -1)) >= 2 else 1)
+except Exception:
+    sys.exit(1)
+EOF
+    timeout 900 python -m catgrasp_tpu.pipelines.generate_affordance \
+      --class_name $c --index $i \
+      --grasp_db dataset/grasps/${c}_train_${i}_complete_grasp.npz \
+      >> logs/aff_r4.log 2>&1
+    note "affordance $c/$i rc=$?"
+  done
+done
+timeout 1200 python -m catgrasp_tpu.pipelines.make_canonical --class_name nut \
+  >> logs/canonical_r4.log 2>&1
+note "canonical nut rc=$?"
+gcommit "r4: affordance labels regenerated with try_grasp_version stamps (deadline-bounded, nut first); nut canonical rebuilt" \
+  dataset/affordance dataset/nut_canonical.npz \
+  logs/aff_r4.log logs/canonical_r4.log logs/r4b_chain.log
 note "ALL_R4B_CHAIN_DONE"
