@@ -2,6 +2,10 @@
 # Round-4b chain (run AFTER r4_eval_chain.sh): the improvement half of the
 # evidence-and-convergence round, trimmed to the wall clock actually left
 # after the eval matrices and ordered by value-per-minute:
+#   A. kernel trials (chunked-batch + full-res Pallas render) + physics
+#      self-parity evidence (VERDICT r3 #6/#9) — FIRST: cheap, bounded,
+#      pure evidence with no data dependency (a session wipe mid-training
+#      must not lose these again)
 #   C. nut training data at the wide distribution (VERDICT r3 #5; 12k/1k —
 #      partial wide beats round 3's narrow 10.8k, full 20k is r5 work)
 #   D. long grasp/seg/nunocs training warm-started from the tracked r3b
@@ -9,8 +13,6 @@
 #      diag jsonl (scripts/graspnet_diag.py)
 #   E. post-training learned-nut spot eval (did new weights help?  same
 #      canonical as the r4 matrix so weights are the only variable)
-#   A. kernel trials (chunked-batch + full-res Pallas render) + physics
-#      self-parity evidence (VERDICT r3 #6/#9)
 #   B. affordance regeneration with provenance stamps, nut first (VERDICT
 #      r3 #8; nut/1 is the un-repaired suspect) + nut canonical rebuild.
 #      Runs LAST so stage E's canonical matches the r4 matrix.
@@ -33,6 +35,22 @@ No-Verification-Needed: chain evidence logs/data artifacts only" -- "$@"
   [ $rc -ne 0 ] && note "gcommit FAILED rc=$rc: $msg"
 }
 note "=== r4b chain start ==="
+
+# ---- A: kernel trials + self-parity --------------------------------------
+if [ ! -f logs/render_trial_r4.json ]; then
+  timeout 1800 python scripts/render_tpu_trial.py \
+    > logs/render_trial_r4.json 2> logs/render_trial_r4.err
+  note "render trial rc=$? $(tail -c 400 logs/render_trial_r4.json)"
+  gcommit "r4: render kernel trial (chunked batch + full-res strips)" \
+    logs/render_trial_r4.json logs/render_trial_r4.err logs/r4b_chain.log
+fi
+if [ ! -f logs/physics_selfparity.jsonl ]; then
+  timeout 2400 python scripts/physics_selfparity.py --trials 30 --n_grasps 24 \
+    > logs/selfparity_run.log 2>&1
+  note "selfparity rc=$?"
+  gcommit "r4: physics self-parity evidence (narrowphase/dt/n_iter KS)" \
+    logs/physics_selfparity.jsonl logs/selfparity_run.log logs/r4b_chain.log
+fi
 
 # ---- C: nut scenes at the wide distribution (fresh disk: VM was wiped) ----
 # bounded attempts (resume on transient axon errors); proceed with whatever
@@ -117,22 +135,6 @@ if [ ! -f logs/evalm_r4b_learned_nut.done ]; then
   gcommit "r4: learned nut eval with retrained weights" \
     logs/eval_matrix_r4b.jsonl logs/evalm_r4b_learned_nut.log \
     logs/evalm_r4b_learned_nut.done logs/r4b_chain.log
-fi
-
-# ---- A: kernel trials + self-parity --------------------------------------
-if [ ! -f logs/render_trial_r4.json ]; then
-  timeout 1800 python scripts/render_tpu_trial.py \
-    > logs/render_trial_r4.json 2> logs/render_trial_r4.err
-  note "render trial rc=$? $(tail -c 400 logs/render_trial_r4.json)"
-  gcommit "r4: render kernel trial (chunked batch + full-res strips)" \
-    logs/render_trial_r4.json logs/render_trial_r4.err logs/r4b_chain.log
-fi
-if [ ! -f logs/physics_selfparity.jsonl ]; then
-  timeout 2400 python scripts/physics_selfparity.py --trials 30 --n_grasps 24 \
-    > logs/selfparity_run.log 2>&1
-  note "selfparity rc=$?"
-  gcommit "r4: physics self-parity evidence (narrowphase/dt/n_iter KS)" \
-    logs/physics_selfparity.jsonl logs/selfparity_run.log logs/r4b_chain.log
 fi
 
 # ---- B: affordance regeneration with stamps + nut canonical ----------------
