@@ -16,6 +16,7 @@ placement logic are identical in both modes.
 from __future__ import annotations
 
 import argparse
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -169,6 +170,17 @@ def _place_with_arm(lib, state, params, env_bin, target, ob_in_grasp, width,
     inv_oig = np.linalg.inv(np.asarray(ob_in_grasp))
     rrt = planner.RRTConnect(obs_base.astype(np.float32), floor_z=-0.04,
                              seed=seed + 77)
+    # Fallback ladder (opt-in): the reference's move_arm tries EVERY ikfast
+    # solution for the pre-place pose and plans the place transport with
+    # obstacles=[] (``run_grasp_simulation.py:402``, place_action), so a
+    # single colliding best-of-zero IK branch never dooms an orientation
+    # there.  With few symmetries (hnm has 2, ``Utils.py:87-90``) our
+    # single-branch gate aborts whole attempts: the r4 learned-hnm matrix
+    # lost ~15 placements to "no IK-feasible/plannable orientation".
+    fallbacks = os.environ.get("CATGRASP_PLACE_FALLBACKS", "0") == "1"
+    rrt_free = planner.RRTConnect(np.float32([[10.0, 10.0, 10.0]]),
+                                  floor_z=-0.04, seed=seed + 78)
+    fails = {"ik_pre": 0, "ik_place": 0, "descent": 0, "rrt": 0}
     plan = None
     for S in np.asarray(sym, np.float32):
         O_pre = T_fix @ _trans(pre_t) @ S
@@ -176,23 +188,45 @@ def _place_with_arm(lib, state, params, env_bin, target, ob_in_grasp, width,
         ee_pre = (base_inv @ O_pre @ inv_oig @ ee_in_grasp).astype(np.float32)
         ee_place = (base_inv @ O_place @ inv_oig @ ee_in_grasp).astype(np.float32)
         q_pre, ok1 = iiwa.ik_best(jnp.asarray(ee_pre))
-        _, ok2 = iiwa.ik_best(jnp.asarray(ee_place))
-        if not (bool(ok1) and bool(ok2)):
+        if not bool(ok1):
+            fails["ik_pre"] += 1
             continue
+        _, ok2 = iiwa.ik_best(jnp.asarray(ee_place))
+        if not bool(ok2):
+            fails["ik_place"] += 1
+            continue
+        branches = [np.asarray(q_pre)]
+        if fallbacks:
+            qs_all, val = iiwa.ik(jnp.asarray(ee_pre))
+            qs_all = np.asarray(qs_all)[np.asarray(val)]
+            order = np.argsort(
+                np.linalg.norm(qs_all - np.asarray(q_cur)[None], axis=1))
+            for q in qs_all[order[:8]]:
+                if all(np.linalg.norm(q - b) > 1e-3 for b in branches):
+                    branches.append(q)
+            branches = branches[:6]
         descent = np.stack([ee_pre * (1 - a) + ee_place * a
                             for a in np.linspace(0, 1, 5)])
-        qs_d, okd = planner.plan_cartesian_waypoints(descent, q_seed=np.asarray(q_pre))
-        if not okd:
-            continue
-        path = rrt.plan(np.asarray(q_cur), np.asarray(q_pre), max_iter=500)
-        if path is None:
-            continue
-        plan = (np.stack(path), qs_d)
-        break
+        for q_pre_b in branches:
+            qs_d, okd = planner.plan_cartesian_waypoints(descent, q_seed=q_pre_b)
+            if not okd:
+                fails["descent"] += 1
+                break  # waypoint with zero IK solutions: branch-independent
+            path = rrt.plan(np.asarray(q_cur), q_pre_b, max_iter=500)
+            if path is None and fallbacks:
+                # reference place transport ignores the observed cloud
+                path = rrt_free.plan(np.asarray(q_cur), q_pre_b, max_iter=500)
+            if path is None:
+                fails["rrt"] += 1
+                continue
+            plan = (np.stack(path), qs_d)
+            break
+        if plan is not None:
+            break
     if plan is None:
         if verbose:
             print("    place: no IK-feasible/plannable orientation among "
-                  f"{len(sym)} symmetries")
+                  f"{len(sym)} symmetries (gate fails: {fails})")
         return False, state
     path, qs_d = plan
     move = np.concatenate([simarm.resample_traj(path, N_MOVE_P - 40),

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--n_rounds", type=int, default=2)
     ap.add_argument("--n_objects", type=int, default=8)
     ap.add_argument("--out", default="logs/eval_matrix_r3.jsonl")
+    ap.add_argument("--variant", default=None,
+                    help="tag appended to the mode field (e.g. 'placefb' "
+                         "when run with CATGRASP_PLACE_FALLBACKS=1)")
     args = ap.parse_args()
 
     from catgrasp_tpu.config.loader import load_config
@@ -53,7 +56,10 @@ def main():
             oracle=bool(args.oracle), canonical=canonical,
             predicters=predicters, seed=seed,
             metrics_path=None, verbose=True)
-        row = {"class": args.class_name, "mode": "oracle" if args.oracle else "learned",
+        mode = "oracle" if args.oracle else "learned"
+        if args.variant:
+            mode = f"{mode}+{args.variant}"
+        row = {"class": args.class_name, "mode": mode,
                "seed": seed, "num_objects": c.num_objects,
                "num_attempts": c.num_attempts,
                "num_stable_grasp": c.num_stable_grasp,

@@ -11,11 +11,12 @@
 #   D. long grasp/seg/nunocs training warm-started from the tracked r3b
 #      params (VERDICT r3 #3) + calib + export + TRACKED prior-corrected
 #      diag jsonl (scripts/graspnet_diag.py)
-#   E. post-training learned-nut spot eval (did new weights help?  same
-#      canonical as the r4 matrix so weights are the only variable)
+#   E. post-training learned-nut spot eval (did new weights help?)
 #   B. affordance regeneration with provenance stamps, nut first (VERDICT
 #      r3 #8; nut/1 is the un-repaired suspect) + nut canonical rebuild.
-#      Runs LAST so stage E's canonical matches the r4 matrix.
+#      Runs BEFORE C/D/E: its outputs are git-tracked and survive a session
+#      wipe, while scene npz / opt state cannot (r4c measurements likewise
+#      run early, via scripts/r4c_chain.sh).
 # Single TPU client: stages run alone.  Every stage is idempotent,
 # wall-clock bounded, and commits its evidence immediately.
 set -u
@@ -51,6 +52,48 @@ if [ ! -f logs/physics_selfparity.jsonl ]; then
   gcommit "r4: physics self-parity evidence (narrowphase/dt/n_iter KS)" \
     logs/physics_selfparity.jsonl logs/selfparity_run.log logs/r4b_chain.log
 fi
+
+# ---- r4c measurements (this session's post-mortem leads): cheap, committed
+# evidence — before the data+train stages, whose outputs cannot survive a
+# session wipe (scene npz / opt state are too big to track) -----------------
+bash scripts/r4c_chain.sh
+
+# ---- B: affordance regeneration with stamps + nut canonical (COMMITTED
+# artifacts — unlike C/D below, this work survives a session wipe) ----------
+aff_t0=$(date +%s)
+for spec in nut:12 screw:9 hnm:8; do
+  c=${spec%%:*}; n=${spec##*:}
+  for i in $(seq 0 $((n - 1))); do
+    if [ $(( $(date +%s) - aff_t0 )) -gt 2400 ]; then
+      note "affordance stage deadline hit; skipping from $c/$i"
+      break 2
+    fi
+    # already stamped current? (cheap python check)
+    python - "$c" "$i" <<'EOF' && continue
+import sys
+import numpy as np
+c, i = sys.argv[1], sys.argv[2]
+try:
+    d = np.load(f"dataset/affordance/{c}_train_{i}_affordance.npz")
+    sys.exit(0 if int(d.get("try_grasp_version", -1)) >= 2 else 1)
+except Exception:
+    sys.exit(1)
+EOF
+    timeout 900 python -m catgrasp_tpu.pipelines.generate_affordance \
+      --class_name $c --index $i \
+      --grasp_db dataset/grasps/${c}_train_${i}_complete_grasp.npz \
+      >> logs/aff_r4.log 2>&1
+    note "affordance $c/$i rc=$?"
+  done
+done
+if [ ! -f logs/canonical_r4.done ]; then
+  timeout 1200 python -m catgrasp_tpu.pipelines.make_canonical --class_name nut \
+    >> logs/canonical_r4.log 2>&1 && touch logs/canonical_r4.done
+  note "canonical nut rc=$?"
+fi
+gcommit "r4: affordance labels regenerated with try_grasp_version stamps (deadline-bounded, nut first); nut canonical rebuilt" \
+  dataset/affordance dataset/nut_canonical.npz logs/canonical_r4.done \
+  logs/aff_r4.log logs/canonical_r4.log logs/r4b_chain.log
 
 # ---- C: nut scenes at the wide distribution (fresh disk: VM was wiped) ----
 # bounded attempts (resume on transient axon errors); proceed with whatever
@@ -137,40 +180,4 @@ if [ ! -f logs/evalm_r4b_learned_nut.done ]; then
     logs/evalm_r4b_learned_nut.done logs/r4b_chain.log
 fi
 
-# ---- B: affordance regeneration with stamps + nut canonical ----------------
-# stage deadline: nut first (the class whose canonical the demos use; nut/1
-# is the un-repaired rc=1 suspect from r3).  Instances the deadline skips
-# stay legacy (provenance documented via git history, tests skip them).
-aff_t0=$(date +%s)
-for spec in nut:12 screw:9 hnm:8; do
-  c=${spec%%:*}; n=${spec##*:}
-  for i in $(seq 0 $((n - 1))); do
-    if [ $(( $(date +%s) - aff_t0 )) -gt 2400 ]; then
-      note "affordance stage deadline hit; skipping from $c/$i"
-      break 2
-    fi
-    # already stamped current? (cheap python check)
-    python - "$c" "$i" <<'EOF' && continue
-import sys
-import numpy as np
-c, i = sys.argv[1], sys.argv[2]
-try:
-    d = np.load(f"dataset/affordance/{c}_train_{i}_affordance.npz")
-    sys.exit(0 if int(d.get("try_grasp_version", -1)) >= 2 else 1)
-except Exception:
-    sys.exit(1)
-EOF
-    timeout 900 python -m catgrasp_tpu.pipelines.generate_affordance \
-      --class_name $c --index $i \
-      --grasp_db dataset/grasps/${c}_train_${i}_complete_grasp.npz \
-      >> logs/aff_r4.log 2>&1
-    note "affordance $c/$i rc=$?"
-  done
-done
-timeout 1200 python -m catgrasp_tpu.pipelines.make_canonical --class_name nut \
-  >> logs/canonical_r4.log 2>&1
-note "canonical nut rc=$?"
-gcommit "r4: affordance labels regenerated with try_grasp_version stamps (deadline-bounded, nut first); nut canonical rebuilt" \
-  dataset/affordance dataset/nut_canonical.npz \
-  logs/aff_r4.log logs/canonical_r4.log logs/r4b_chain.log
 note "ALL_R4B_CHAIN_DONE"
