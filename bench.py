@@ -143,14 +143,17 @@ def bench_render():
     cam = jnp.eye(4).at[:3, :3].set(
         jnp.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])).at[2, 3].set(0.7)
 
-    # config ladder: Pallas march + lax.map scene chunking bounds peak
-    # memory at ~1 frame (full-vmap batch-8 OOMs a v5e,
-    # logs/render_trial.json) and runs at ~the single-frame kernel rate.
-    # CATGRASP_BENCH_RENDER_MODE=pallas2|pallas1|xla pins one config;
-    # default tries the ladder and falls back.
-    modes = {"pallas2": ("1", 2), "pallas1": ("1", 1), "xla": ("0", None)}
+    # config ladder: since the r4 kernel-internal batch chunking, full-vmap
+    # batch-8 Pallas no longer OOMs and is the fastest config by far
+    # (19.7 fps vs 1.2 chunked / 6.5 xla, logs/render_trial_r4.json) — try
+    # it first; lax.map scene chunking and plain XLA remain the fallbacks.
+    # CATGRASP_BENCH_RENDER_MODE=pallas0|pallas2|pallas1|xla pins one
+    # config; default tries the ladder and falls back.
+    modes = {"pallas0": ("1", None), "pallas2": ("1", 2), "pallas1": ("1", 1),
+             "xla": ("0", None)}
     pin = os.environ.get("CATGRASP_BENCH_RENDER_MODE")
-    ladder = [modes[pin]] if pin else [modes["pallas2"], modes["xla"]]
+    ladder = ([modes[pin]] if pin
+              else [modes["pallas0"], modes["pallas2"], modes["xla"]])
     last_err = None
     for flag, chunk in ladder:
         try:
