@@ -178,9 +178,16 @@ def _place_with_arm(lib, state, params, env_bin, target, ob_in_grasp, width,
     # single-branch gate aborts whole attempts: the r4 learned-hnm matrix
     # lost ~15 placements to "no IK-feasible/plannable orientation".
     fallbacks = os.environ.get("CATGRASP_PLACE_FALLBACKS", "0") == "1"
+    # the relaxed planner matches the reference's place transport exactly:
+    # obstacles=[] means NO collision checking at all there, floor included
+    # (``run_grasp_simulation.py:402``).  Keeping our floor test in the
+    # fallback vetoed every branch whenever the place pose needs a low tool
+    # pose — the wrist/flange z is shared by ALL IK branches of a pose, so
+    # one low flange kills the entire ladder (r4c counters: relax_goal 12/12).
     rrt_free = planner.RRTConnect(np.float32([[10.0, 10.0, 10.0]]),
-                                  floor_z=-0.04, seed=seed + 78)
-    fails = {"ik_pre": 0, "ik_place": 0, "descent": 0, "rrt": 0}
+                                  floor_z=-10.0, seed=seed + 78)
+    fails = {"ik_pre": 0, "ik_place": 0, "descent": 0, "rrt": 0,
+             "relax_start": 0, "relax_goal": 0, "relax_iter": 0}
     plan = None
     for S in np.asarray(sym, np.float32):
         O_pre = T_fix @ _trans(pre_t) @ S
@@ -216,6 +223,16 @@ def _place_with_arm(lib, state, params, env_bin, target, ob_in_grasp, width,
             if path is None and fallbacks:
                 # reference place transport ignores the observed cloud
                 path = rrt_free.plan(np.asarray(q_cur), q_pre_b, max_iter=500)
+                if path is None:
+                    # why did even the floor-only planner refuse?
+                    sg = rrt_free._free(
+                        np.stack([np.asarray(q_cur), q_pre_b]))
+                    if not sg[0]:
+                        fails["relax_start"] += 1
+                    elif not sg[1]:
+                        fails["relax_goal"] += 1
+                    else:
+                        fails["relax_iter"] += 1
             if path is None:
                 fails["rrt"] += 1
                 continue
