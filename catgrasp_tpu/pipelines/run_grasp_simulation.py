@@ -74,7 +74,7 @@ def execute_pick(lib, state: SceneState, params: SceneParams, env_bin,
     dt = engine.DT
 
     def step_fn(carry, i):
-        st, w = carry
+        st, w, c = carry
         closing = i < CLOSE_STEPS
 
         R = tf.quat_to_matrix(st.quat[target])
@@ -82,20 +82,20 @@ def execute_pick(lib, state: SceneState, params: SceneParams, env_bin,
                                   * params.scale[target]) @ R.T
         pts_g = tf.transform_points(tf.pose_inverse(grasp_in_world), pts_w)
         from ..sim.env_grasp import closing_step
-        w_new, dv = closing_step(pts_g, w, closing, spec, dt)
+        w_new, c_new, v_p, v_n = closing_step(pts_g, w, c, closing, spec, dt)
 
-        genv = gripper_env(grasp_in_world, w_new, dv / dt, spec)
+        genv = gripper_env(grasp_in_world, w_new, c_new, v_p, v_n, spec)
         # merge bin + gripper colliders
         from ..sim.arm import merge_envs
         merged = merge_envs(env_bin, genv)
         st = engine.step(st, params, lib, merged, dt=dt, gravity=-9.8,
                          narrowphase=narrowphase)
         keep = (st.pos[target], st.quat[target])
-        return (st, w_new), keep
+        return (st, w_new, c_new), keep
 
     # phase 1+2: close, then hold under gravity with the gripper static
-    (final, w_f), traj = jax.lax.scan(
-        step_fn, (state, jnp.asarray(spec.max_width)),
+    (final, w_f, c_f), traj = jax.lax.scan(
+        step_fn, (state, jnp.asarray(spec.max_width), jnp.float32(0.0)),
         jnp.arange(CLOSE_STEPS + LIFT_STEPS))
 
     # hold test (verify_grasp semantics): displacement between end-of-close
@@ -107,7 +107,9 @@ def execute_pick(lib, state: SceneState, params: SceneParams, env_bin,
     # object still between the fingers at the end
     ob_pose = tf.pose_from_qt(final.quat[target], final.pos[target])
     ob_in_grasp = tf.pose_inverse(grasp_in_world) @ ob_pose
-    centered = jnp.all(jnp.abs(ob_in_grasp[:3, 3] - jnp.array([0.02, 0.0, 0.0]))
+    # the per-finger close may settle at a lateral midline offset c_f; the
+    # lateral hold bound is measured from there
+    centered = jnp.all(jnp.abs(ob_in_grasp[:3, 3] - jnp.stack([0.02, c_f, 0.0]))
                        < jnp.array([0.06, 0.05, 0.05]))
     picked = (disp < 0.02) & closed_on_something & centered
 
@@ -154,7 +156,7 @@ def _trans(t) -> np.ndarray:
 def _place_with_arm(lib, state, params, env_bin, target, ob_in_grasp, width,
                     q_cur, base_in_world, gripper, T_fix, class_name, sym,
                     obs_base, seed, spec, verbose, narrowphase="csg",
-                    arm_dynamics=False):
+                    arm_dynamics=False, grip_center=0.0):
     """Arm-executed place_action (reference ``run_grasp_simulation.py:375-463``):
     symmetry loop for an IK-feasible place orientation, RRT transport from the
     post-lift config to pre-place, Cartesian insertion descent, open fingers,
@@ -256,7 +258,7 @@ def _place_with_arm(lib, state, params, env_bin, target, ob_in_grasp, width,
         jnp.asarray(base_in_world), jnp.asarray(ee_in_grasp),
         jnp.asarray(np.asarray(ob_in_grasp, np.float32)),
         jnp.asarray(width), spec, n_move=N_MOVE_P, n_drop=N_DROP_P,
-        narrowphase=narrowphase)
+        narrowphase=narrowphase, center=jnp.asarray(grip_center))
     ob_in_fix = np.linalg.inv(T_fix) @ np.asarray(ob_pose_final)
     placed = bool(es.place_success(class_name, jnp.asarray(ob_in_fix),
                                    jnp.asarray(place_t, jnp.float32)))
@@ -763,7 +765,7 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                     # (kin/dynamics.py): colliders follow the achieved
                     # trajectory, not the ideal one
                     sched = simarm.dynamicize_schedule(sched)
-                picked, state_after, ob_in_grasp, w_f, disturb = \
+                picked, state_after, ob_in_grasp, w_f, c_f, disturb = \
                     simarm.execute_pick_arm(
                         lib, state, params, env_bin, jnp.int32(target),
                         jnp.asarray(sched), jnp.asarray(base_in_world),
@@ -789,7 +791,7 @@ def simulate_grasp_rounds(class_name: str = "nut", n_rounds: int = 2,
                         np.asarray(ob_in_grasp), w_f, q_after_pick,
                         base_in_world, gripper, T_fix, class_name, sym,
                         obs_base, seed, spec, verbose, narrowphase=geom,
-                        arm_dynamics=arm_dynamics)
+                        arm_dynamics=arm_dynamics, grip_center=float(c_f))
                 else:
                     # fixture-world place (floating baseline): the ACTUAL
                     # in-hand pose reflects pick slip; the COMMANDED one is

@@ -144,9 +144,11 @@ def execute_pick_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
 
     ``qs`` (T,7) with T = n_app + n_close + n_hold + n_lift; the close/hold
     span must repeat the grasp config.  Returns
-    (picked, final_state, ob_in_grasp, width, disturbance) where
-    ``disturbance`` is the max displacement of non-target bodies during the
-    approach (descent disturbance measure).
+    (picked, final_state, ob_in_grasp, width, center, disturbance) where
+    ``center`` is the finger-midline y offset the per-finger close settled
+    at (feed it to ``execute_place_arm`` so the release geometry matches)
+    and ``disturbance`` is the max displacement of non-target bodies during
+    the approach (descent disturbance measure).
     """
     dt = engine.DT
     T = qs.shape[0]
@@ -163,20 +165,21 @@ def execute_pick_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
     t_lift0 = n_app + n_close + n_hold
 
     def step_fn(carry, xs):
-        st, w, ob_in_grasp, pos_close, disturb = carry
+        st, w, c, ob_in_grasp, pos_close, disturb = carry
         i, q, q_prev, G_t, G_tn = xs
         closing = (i >= t_close0) & (i < t_hold0)
         lifting = i >= t_lift0
 
-        # force-limited closing law (reference POSITION_CONTROL with max
-        # force, env_grasp.py:127-131) against the CURRENT tool pose
+        # per-finger force-limited closing law (reference: two independent
+        # POSITION_CONTROL finger motors, env_grasp.py:56-62,127-131)
+        # against the CURRENT tool pose
         R = tf.quat_to_matrix(st.quat[target])
         pts_w = st.pos[target] + (lib.surf_pts[params.shape_id[target]]
                                   * params.scale[target]) @ R.T
         pts_g = tf.transform_points(tf.pose_inverse(G_t), pts_w)
-        w_new, dv = closing_step(pts_g, w, closing, spec, dt)
+        w_new, c_new, v_p, v_n = closing_step(pts_g, w, c, closing, spec, dt)
 
-        genv = gripper_env(G_t, w_new, dv / dt, spec)
+        genv = gripper_env(G_t, w_new, c_new, v_p, v_n, spec)
         aenv = arm_env(q, q_prev, base_in_world, dt)
         merged = merge_envs(env_bin, genv, aenv)
         st = engine.step(st, params, lib, merged, dt=dt, gravity=-9.8,
@@ -209,11 +212,11 @@ def execute_pick_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
                 not_target & st.active,
                 jnp.linalg.norm(st.pos - pos0, axis=-1), 0.0))),
             disturb)
-        return (st, w_new, ob_in_grasp, pos_close, disturb), st.pos[target]
+        return (st, w_new, c_new, ob_in_grasp, pos_close, disturb), st.pos[target]
 
-    init = (state, jnp.asarray(spec.max_width), jnp.eye(4),
+    init = (state, jnp.asarray(spec.max_width), jnp.float32(0.0), jnp.eye(4),
             jnp.zeros(3), jnp.float32(0.0))
-    (final, w_f, ob_in_grasp, pos_close, disturb), _ = jax.lax.scan(
+    (final, w_f, c_f, ob_in_grasp, pos_close, disturb), _ = jax.lax.scan(
         step_fn, init, (jnp.arange(T), qs, qs_prev, G, G_next))
 
     # hold-gate at the END OF HOLD (pre-lift), identical to the floating
@@ -222,10 +225,13 @@ def execute_pick_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
     ob_hold = G_hold @ ob_in_grasp
     disp = jnp.linalg.norm(ob_hold[:3, 3] - pos_close)
     closed_on_something = w_f > 1e-3
-    centered = jnp.all(jnp.abs(ob_in_grasp[:3, 3] - jnp.array([0.02, 0.0, 0.0]))
+    # the hold may legitimately sit at the finger midline offset c_f, so the
+    # lateral bound is measured from there
+    centered = jnp.all(jnp.abs(ob_in_grasp[:3, 3]
+                               - jnp.stack([0.02, c_f, 0.0]))
                        < jnp.array([0.06, 0.05, 0.05]))
     picked = (disp < 0.02) & closed_on_something & centered
-    return picked, final, ob_in_grasp, w_f, disturb
+    return picked, final, ob_in_grasp, w_f, c_f, disturb
 
 
 @partial(jax.jit, static_argnames=("spec", "n_move", "n_drop", "narrowphase"))
@@ -235,7 +241,8 @@ def execute_place_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
                       ee_in_grasp: jnp.ndarray, ob_in_grasp: jnp.ndarray,
                       width: jnp.ndarray, spec: GripperSpec = GripperSpec(),
                       n_move: int = 160, n_drop: int = 100,
-                      narrowphase: str = "csg"):
+                      narrowphase: str = "csg",
+                      center: jnp.ndarray = 0.0):
     """Arm-executed place: transport the attached object along ``qs[:n_move]``
     (RRT to pre-place + Cartesian insertion descent), then hold the arm at
     the final config, open the fingers, and let the object drop under
@@ -268,7 +275,10 @@ def execute_place_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
         w_new = jnp.minimum(w + dv, spec.max_width)
         attached = moving | (w_new < w_release)
 
-        genv = gripper_env(G_t, w_new, -dv / dt, spec)
+        # both fingers retract outward from the (possibly off-center) hold
+        # midline at half the opening rate each
+        genv = gripper_env(G_t, w_new, center, -dv / (2 * dt), -dv / (2 * dt),
+                           spec)
         # once the object has released, the gripper stops being a collider:
         # the reference teleports the gripper far away before the gravity
         # drop (env_semantic_grasp.py:155-160); keeping the finger channel

@@ -83,15 +83,21 @@ def closing_channel_mask(pts_g, spec: GripperSpec, y_slack: float = 1e-3):
             & (pts_g[:, 0] >= spec.init_bite))
 
 
-def finger_boxes(width: jnp.ndarray, spec: GripperSpec):
+def finger_boxes(width: jnp.ndarray, spec: GripperSpec, center: jnp.ndarray = 0.0):
     """Centers/halves (grasp frame) of [finger+, finger-, palm] boxes for a
-    given opening ``width`` (distance between finger inner faces)."""
+    given opening ``width`` (distance between finger inner faces) whose
+    midline sits at y=``center``.  The palm is rigid on the wrist and does
+    NOT ride the finger midline — the fingers slide along it (the
+    reference's gripper has two independent prismatic finger joints on a
+    fixed base, ``gripper.urdf`` joints 1,2 / ``env_grasp.py:56-62``)."""
     t = spec.finger_thickness
-    cy = width / 2 + t / 2
+    center = jnp.asarray(center) + jnp.zeros_like(width)
+    cy_pos = center + width / 2 + t / 2
+    cy_neg = center - (width / 2 + t / 2)
     centers = jnp.stack(
         [
-            jnp.stack([jnp.full_like(width, spec.finger_len / 2), cy, jnp.zeros_like(width)], -1),
-            jnp.stack([jnp.full_like(width, spec.finger_len / 2), -cy, jnp.zeros_like(width)], -1),
+            jnp.stack([jnp.full_like(width, spec.finger_len / 2), cy_pos, jnp.zeros_like(width)], -1),
+            jnp.stack([jnp.full_like(width, spec.finger_len / 2), cy_neg, jnp.zeros_like(width)], -1),
             jnp.stack([jnp.full_like(width, -spec.palm_depth / 2), jnp.zeros_like(width), jnp.zeros_like(width)], -1),
         ],
         axis=-2,
@@ -106,18 +112,23 @@ def finger_boxes(width: jnp.ndarray, spec: GripperSpec):
     return centers, jnp.broadcast_to(halves, centers.shape)
 
 
-def gripper_env(T_grasp: jnp.ndarray, width: jnp.ndarray, finger_vel: jnp.ndarray,
+def gripper_env(T_grasp: jnp.ndarray, width: jnp.ndarray, center: jnp.ndarray,
+                vel_pos: jnp.ndarray, vel_neg: jnp.ndarray,
                 spec: GripperSpec, friction: float = 0.9,
                 dt: float = engine.DT) -> engine.StaticEnv:
-    """Gripper as 3 kinematic world-frame boxes (finger+, finger-, palm)."""
-    centers_g, halves = finger_boxes(width, spec)
+    """Gripper as 3 kinematic world-frame boxes (finger+, finger-, palm).
+
+    ``vel_pos``/``vel_neg`` are the INWARD speeds of the +y / -y fingers
+    (positive = closing); the fingers are independent, like the reference's
+    two position-controlled prismatic joints (``env_grasp.py:56-62``)."""
+    centers_g, halves = finger_boxes(width, spec, center)
     R = T_grasp[:3, :3]
     centers_w = centers_g @ R.T + T_grasp[:3, 3]
     q = tf.matrix_to_quat(R)
     quats = jnp.broadcast_to(q, (3, 4))
     # closing velocity: finger+ moves -y_grasp, finger- moves +y_grasp
     ydir = R[:, 1]
-    vel = jnp.stack([-ydir * finger_vel / 2, ydir * finger_vel / 2, jnp.zeros(3)])
+    vel = jnp.stack([-ydir * vel_pos, ydir * vel_neg, jnp.zeros(3)])
     return engine.StaticEnv(
         center=centers_w,
         half=halves,
@@ -133,35 +144,59 @@ def gripper_env(T_grasp: jnp.ndarray, width: jnp.ndarray, finger_vel: jnp.ndarra
     )
 
 
-def _object_pen_in_fingers(obj_pts_grasp: jnp.ndarray, width: jnp.ndarray, spec: GripperSpec):
-    """Max penetration of object points (in grasp frame) into the finger
-    boxes at a given opening — the force-limit signal for the closing law."""
-    centers, halves = finger_boxes(width, spec)
+def _object_pen_per_finger(obj_pts_grasp: jnp.ndarray, width: jnp.ndarray,
+                           spec: GripperSpec, center: jnp.ndarray = 0.0):
+    """Max penetration of object points (grasp frame) into EACH finger box
+    at a given opening — the per-finger force-limit signal for the closing
+    law.  Returns ``(pen_pos, pen_neg)``."""
+    centers, halves = finger_boxes(width, spec, center)
     rel = obj_pts_grasp[:, None, :] - centers[None, :2, :]
     d, _ = engine.box_sdf_and_normal(rel, halves[None, :2, :])
-    return jnp.maximum(-jnp.min(d), 0.0)
+    pen = jnp.maximum(-jnp.min(d, axis=0), 0.0)  # (2,)
+    return pen[0], pen[1]
 
 
 def closing_step(obj_pts_grasp: jnp.ndarray, width: jnp.ndarray,
-                 closing: jnp.ndarray, spec: GripperSpec, dt: float):
+                 center: jnp.ndarray, closing: jnp.ndarray,
+                 spec: GripperSpec, dt: float):
     """One tick of the force-limited closing law, shared by every consumer
     (``grasp_rollout``, the in-pile pick in ``pipelines.run_grasp_simulation``
     and the arm executor in ``sim.arm``) so they cannot drift.
 
-    Reference semantics: POSITION_CONTROL finger motors with maxForce 100 N
-    (``env_grasp.py:56-62,127-131``).  Two mechanisms model the limit here:
-    the opening advances only while squeeze penetration is below
-    ``max_squeeze_pen`` (the compliance the reference's 100 N develops
-    against PyBullet's contact ERP — calibration in GripperSpec), and the
-    engine separately clamps each finger collider's delivered impulse at
-    ``max_force*dt`` per step (``StaticEnv.imp_budget``).
+    Reference semantics: the two finger joints are INDEPENDENT
+    POSITION_CONTROL motors with maxForce 100 N
+    (``env_grasp.py:56-62,127-131``) — each finger advances until ITS OWN
+    contact develops the force limit and stalls there while the other keeps
+    moving.  A single symmetric width DOF (rounds 1-4a) dragged off-center
+    objects laterally until the far finger caught up, which on the pile
+    floor ejected rim-pinched nuts out of the channel (the r4 oracle-nut
+    regression: every failure was a NOCS-codebook grasp whose visible
+    channel points sat 4-22 mm to one side; the close shoved the part
+    46-69 mm along +y, ``logs/pickdbg_r4f``).
 
-    Returns ``(new_width, dv)`` where dv is the opening decrease this tick
-    (callers derive the finger velocity as ``dv/dt``)."""
-    pen = _object_pen_in_fingers(obj_pts_grasp, width, spec)
-    dv_allow = jnp.maximum(spec.max_squeeze_pen - pen, 0.0) * 2.0
-    dv = jnp.where(closing, jnp.minimum(spec.close_speed * dt, dv_allow), 0.0)
-    return jnp.maximum(width - dv, 0.0), dv
+    Per-finger force limit here: a finger's advance this tick is capped by
+    its own squeeze-penetration allowance (``max_squeeze_pen`` — the
+    compliance the reference's 100 N develops against PyBullet's contact
+    ERP; calibration note in GripperSpec), and the engine separately clamps
+    each finger collider's delivered impulse at ``max_force*dt`` per step
+    (``StaticEnv.imp_budget``).  For a centered object this reduces exactly
+    to the old symmetric law (each finger closes half the width at the
+    shared allowance).
+
+    Returns ``(new_width, new_center, v_pos, v_neg)`` where v_* are the
+    fingers' inward speeds for ``gripper_env``."""
+    pen_p, pen_n = _object_pen_per_finger(obj_pts_grasp, width, spec, center)
+    half_step = spec.close_speed * dt / 2
+    df_p = jnp.where(closing, jnp.minimum(
+        half_step, jnp.maximum(spec.max_squeeze_pen - pen_p, 0.0)), 0.0)
+    df_n = jnp.where(closing, jnp.minimum(
+        half_step, jnp.maximum(spec.max_squeeze_pen - pen_n, 0.0)), 0.0)
+    # never close past zero opening (shared budget, split pro rata)
+    total = df_p + df_n
+    scale = jnp.where(total > width, width / jnp.maximum(total, 1e-9), 1.0)
+    df_p, df_n = df_p * scale, df_n * scale
+    return (width - df_p - df_n, center - (df_p - df_n) / 2,
+            df_p / dt, df_n / dt)
 
 
 def open_gripper_collision(obj_pts_grasp: jnp.ndarray, spec: GripperSpec) -> jnp.ndarray:
@@ -205,29 +240,30 @@ def grasp_rollout(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
     n_shake = int(round(N_SHAKE_STEPS * engine.DT / dt))
 
     def step_fn(carry, i):
-        st, w = carry
+        st, w, c = carry
         closing = i < n_close
         gravity_on = i >= n_close
 
         R = tf.quat_to_matrix(st.quat[0])
         pts_w = st.pos[0] + lib.surf_pts[shape_id] * scale @ R.T
         pts_g = tf.transform_points(T_inv, pts_w)
-        w_new, dv = closing_step(pts_g, w, closing, spec, dt)
+        w_new, c_new, v_p, v_n = closing_step(pts_g, w, c, closing, spec, dt)
 
-        env = gripper_env(T_grasp, w_new, dv / dt, spec, gripper_friction, dt=dt)
+        env = gripper_env(T_grasp, w_new, c_new, v_p, v_n, spec,
+                          gripper_friction, dt=dt)
         g = jnp.where(gravity_on, SHAKE_GRAVITY, 0.0)
         st = engine.step(st, params, lib, env, dt=dt, gravity=g,
                          n_iter=n_iter, narrowphase=narrowphase)
-        return (st, w_new), None
+        return (st, w_new, c_new), None
 
     # two scans so the post-close (pre-gravity) state is observable: the
     # reference's try_grasp RESTORES to this state after its gravity
     # stability test (``env_semantic_grasp.py:103-120``) — contacts and the
     # attached in-hand pose come from the close phase only
-    (post_close, w_close), _ = jax.lax.scan(
-        step_fn, (state, w0), jnp.arange(n_close))
-    (final, w_final), _ = jax.lax.scan(
-        step_fn, (post_close, w_close),
+    (post_close, w_close, c_close), _ = jax.lax.scan(
+        step_fn, (state, w0, jnp.zeros_like(w0)), jnp.arange(n_close))
+    (final, w_final, c_final), _ = jax.lax.scan(
+        step_fn, (post_close, w_close, c_close),
         jnp.arange(n_close, n_close + n_shake))
     disp = jnp.linalg.norm(final.pos[0])
     success = (~collided) & (disp <= SUCCESS_DISP)
@@ -236,6 +272,7 @@ def grasp_rollout(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
         "success": success,
         "collided": collided,
         "width": w_final,
+        "center": c_final,  # finger-midline offset after the per-finger close
         "ob_pose_final": ob_pose_final,  # in-hand drift (identity at t0)
         "ob_pose_close": tf.pose_from_qt(post_close.quat[0], post_close.pos[0]),
         "displacement": disp,
@@ -283,13 +320,14 @@ def perturbation_scores(key: jax.Array, lib: ShapeLib, shape_id: jnp.ndarray,
 
 
 def finger_contact_points(obj_pts_grasp: jnp.ndarray, width: jnp.ndarray,
-                          spec: GripperSpec, surface_tol: float = 0.002):
+                          spec: GripperSpec, surface_tol: float = 0.002,
+                          center: jnp.ndarray = 0.0):
     """Mask of object points (grasp frame) in contact with either finger's
     inner face — the contact-area extraction used for affordance labeling
     (``env_grasp.py:135-160``, ``get_finger_contact_area:243-283``).
     Returns (mask_pos_finger, mask_neg_finger) boolean masks."""
     x, y, z = obj_pts_grasp[:, 0], obj_pts_grasp[:, 1], obj_pts_grasp[:, 2]
     within = (x >= 0.0) & (x <= spec.finger_len) & (jnp.abs(z) <= spec.finger_depth / 2)
-    near_pos = jnp.abs(y - width / 2) <= surface_tol
-    near_neg = jnp.abs(y + width / 2) <= surface_tol
+    near_pos = jnp.abs(y - (center + width / 2)) <= surface_tol
+    near_neg = jnp.abs(y - (center - width / 2)) <= surface_tol
     return within & near_pos, within & near_neg

@@ -90,12 +90,12 @@ def place_success(class_name: str, ob_pose: jnp.ndarray, place_pos: jnp.ndarray)
 
 
 def _gripper_sample_points(spec: GripperSpec, width: jnp.ndarray, n_per_box: int = 32,
-                           n_boxes: int = 3):
+                           n_boxes: int = 3, center: jnp.ndarray = 0.0):
     """Sample points on the gripper's boxes at the given opening, grasp
     frame — for gripper-vs-fixture insertion collision tests.  n_boxes=2
     restricts to the FINGERS (the reference's insertion sweep checks
     ``links1=finger_ids`` only, ``env_semantic_grasp.py:145``)."""
-    centers, halves = finger_boxes(width, spec)
+    centers, halves = finger_boxes(width, spec, center)
     centers, halves = centers[:n_boxes], halves[:n_boxes]
     # deterministic low-discrepancy-ish grid on each box surface
     u = (jnp.arange(n_per_box) + 0.5) / n_per_box
@@ -140,7 +140,8 @@ def try_grasp(lib: ShapeLib, obj_shape: jnp.ndarray, fixture_shape_idx: jnp.ndar
     pts_ob = aff_pts * scale
     pts_w = tf.transform_points(drift, pts_ob)
     pts_g = tf.transform_points(T_ginv, pts_w)
-    m_pos, m_neg = finger_contact_points(pts_g, width, spec, surface_tol=0.003)
+    m_pos, m_neg = finger_contact_points(pts_g, width, spec, surface_tol=0.003,
+                                         center=roll["center"])
     stable = held & jnp.any(m_pos) & jnp.any(m_neg)
     contact_mask = (m_pos | m_neg) & stable
 
@@ -161,7 +162,8 @@ def try_grasp(lib: ShapeLib, obj_shape: jnp.ndarray, fixture_shape_idx: jnp.ndar
     # fixture (``any_link_pair_collision(links1=finger_ids)``,
     # ``env_semantic_grasp.py:145``); the held OBJECT is free to brush the
     # fixture during the kinematic insert — physics resolves that at drop
-    grip_pts_g = _gripper_sample_points(spec, width, n_boxes=2)
+    grip_pts_g = _gripper_sample_points(spec, width, n_boxes=2,
+                                        center=roll["center"])
 
     def waypoint_collides(ob_pose):
         # grasp pose in fixture frame when holding the (drifted) object here

@@ -75,7 +75,7 @@ def test_execute_pick_arm_runs_and_gates():
     q0 = np.zeros(7, np.float32)
     q0[1], q0[3] = 0.6, -1.2
     sched = np.repeat(q0[None], 4 + 6 + 6 + 4, axis=0)
-    picked, final, oig, w, disturb = simarm.execute_pick_arm(
+    picked, final, oig, w, c, disturb = simarm.execute_pick_arm(
         lib, state, params, env_bin, jnp.int32(0), jnp.asarray(sched),
         jnp.asarray(_base()), jnp.asarray(g.ee_in_grasp), g.spec,
         n_app=4, n_close=6, n_hold=6)

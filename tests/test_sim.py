@@ -122,3 +122,23 @@ def test_finger_contact_points():
     assert bool(m_pos[0]) and not bool(m_neg[0])
     assert not bool(m_pos[1])
     assert not bool(m_pos[2])
+
+
+def test_per_finger_close_holds_off_center_object(lib):
+    """Per-finger force-limited closing (reference: two independent
+    POSITION_CONTROL finger joints, ``env_grasp.py:56-62``): an object
+    offset along the closing axis must be pinched IN PLACE — the near
+    finger stalls on contact while the far finger keeps moving.  The old
+    single-width symmetric law dragged the object to the channel midline
+    (here 8 mm), which in-pile ejected rim-pinched parts (the r4
+    oracle-nut codebook-grasp regression, ``logs/pickdbg_r4f``)."""
+    off = 0.008  # grasp center 8 mm off the cube center along closing y
+    roll = eg.grasp_rollout(lib, jnp.int32(0), jnp.float32(1.0),
+                            top_down_grasp([off, 0.0, 0.006]))
+    assert bool(roll["success"])
+    # pinched in place, not dragged to the midline
+    assert float(roll["displacement"]) < 0.005
+    # fingers settled on the 30 mm cube faces: width ~ 0.03, midline at
+    # -off in the grasp frame
+    assert abs(float(roll["width"]) - 0.03) < 0.008
+    assert abs(float(roll["center"]) + off) < 0.004
