@@ -74,7 +74,7 @@ def execute_pick(lib, state: SceneState, params: SceneParams, env_bin,
     dt = engine.DT
 
     def step_fn(carry, i):
-        st, w, c = carry
+        st, w, c, tch = carry
         closing = i < CLOSE_STEPS
 
         R = tf.quat_to_matrix(st.quat[target])
@@ -82,20 +82,24 @@ def execute_pick(lib, state: SceneState, params: SceneParams, env_bin,
                                   * params.scale[target]) @ R.T
         pts_g = tf.transform_points(tf.pose_inverse(grasp_in_world), pts_w)
         from ..sim.env_grasp import closing_step
-        w_new, c_new, v_p, v_n = closing_step(pts_g, w, c, closing, spec, dt)
+        w_new, c_new, tch, v_p, v_n = closing_step(
+            pts_g, w, c, tch, closing, spec, dt)
 
-        genv = gripper_env(grasp_in_world, w_new, c_new, v_p, v_n, spec)
+        genv = gripper_env(grasp_in_world, w_new, c_new, v_p, v_n, spec,
+                           grip=~closing & tch[0] & tch[1])
         # merge bin + gripper colliders
         from ..sim.arm import merge_envs
         merged = merge_envs(env_bin, genv)
         st = engine.step(st, params, lib, merged, dt=dt, gravity=-9.8,
                          narrowphase=narrowphase)
         keep = (st.pos[target], st.quat[target])
-        return (st, w_new, c_new), keep
+        return (st, w_new, c_new, tch), keep
 
     # phase 1+2: close, then hold under gravity with the gripper static
-    (final, w_f, c_f), traj = jax.lax.scan(
-        step_fn, (state, jnp.asarray(spec.max_width), jnp.float32(0.0)),
+    from ..sim.env_grasp import closing_touched_init
+    (final, w_f, c_f, _), traj = jax.lax.scan(
+        step_fn, (state, jnp.asarray(spec.max_width), jnp.float32(0.0),
+                  closing_touched_init()),
         jnp.arange(CLOSE_STEPS + LIFT_STEPS))
 
     # hold test (verify_grasp semantics): displacement between end-of-close
@@ -179,7 +183,14 @@ def _place_with_arm(lib, state, params, env_bin, target, ob_in_grasp, width,
     # there.  With few symmetries (hnm has 2, ``Utils.py:87-90``) our
     # single-branch gate aborts whole attempts: the r4 learned-hnm matrix
     # lost ~15 placements to "no IK-feasible/plannable orientation".
-    fallbacks = os.environ.get("CATGRASP_PLACE_FALLBACKS", "0") == "1"
+    # DEFAULT ON since r5: the r4c/r4d measurements showed the strict
+    # single-branch gate losing placements the reference would make (hnm
+    # task successes 12/14/15 with the ladder vs 9/11/12 stock,
+    # logs/eval_matrix_r4c.jsonl), and the reference plans its place
+    # transport with obstacles=[] unconditionally
+    # (run_grasp_simulation.py:402).  Set CATGRASP_PLACE_FALLBACKS=0 to
+    # reproduce the stricter pre-r5 behavior.
+    fallbacks = os.environ.get("CATGRASP_PLACE_FALLBACKS", "1") == "1"
     # the relaxed planner matches the reference's place transport exactly:
     # obstacles=[] means NO collision checking at all there, floor included
     # (``run_grasp_simulation.py:402``).  Keeping our floor test in the

@@ -26,7 +26,8 @@ import numpy as np
 from ..core import transforms as tf
 from ..kin import iiwa
 from . import engine
-from .env_grasp import GripperSpec, closing_step, gripper_env
+from .env_grasp import (GripperSpec, closing_step, closing_touched_init,
+                        gripper_env)
 from .types import SceneParams, SceneState, ShapeLib
 
 # segment radii base->S, S->E, E->W, W->F (matches kin.planner.LINK_RADII)
@@ -43,6 +44,7 @@ def merge_envs(*envs: engine.StaticEnv) -> engine.StaticEnv:
         friction=jnp.concatenate([e.friction for e in envs]),
         enabled=jnp.concatenate([e.enabled for e in envs]),
         imp_budget=jnp.concatenate([e.imp_budget for e in envs]),
+        grip=jnp.concatenate([e.grip for e in envs]),
     )
 
 
@@ -86,6 +88,7 @@ def arm_env(q: jnp.ndarray, q_prev: jnp.ndarray, base_in_world: jnp.ndarray,
         center=c, half=h, quat=qt, vel=(c - c_prev) / dt,
         friction=jnp.full((4,), friction), enabled=jnp.ones((4,), bool),
         imp_budget=jnp.full((4,), jnp.inf),
+        grip=jnp.zeros((4,), bool),
     )
 
 
@@ -165,7 +168,7 @@ def execute_pick_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
     t_lift0 = n_app + n_close + n_hold
 
     def step_fn(carry, xs):
-        st, w, c, ob_in_grasp, pos_close, disturb = carry
+        st, w, c, tch, ob_in_grasp, pos_close, disturb = carry
         i, q, q_prev, G_t, G_tn = xs
         closing = (i >= t_close0) & (i < t_hold0)
         lifting = i >= t_lift0
@@ -177,9 +180,11 @@ def execute_pick_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
         pts_w = st.pos[target] + (lib.surf_pts[params.shape_id[target]]
                                   * params.scale[target]) @ R.T
         pts_g = tf.transform_points(tf.pose_inverse(G_t), pts_w)
-        w_new, c_new, v_p, v_n = closing_step(pts_g, w, c, closing, spec, dt)
+        w_new, c_new, tch, v_p, v_n = closing_step(
+            pts_g, w, c, tch, closing, spec, dt)
 
-        genv = gripper_env(G_t, w_new, c_new, v_p, v_n, spec)
+        genv = gripper_env(G_t, w_new, c_new, v_p, v_n, spec,
+                           grip=(i >= t_hold0) & tch[0] & tch[1])
         aenv = arm_env(q, q_prev, base_in_world, dt)
         merged = merge_envs(env_bin, genv, aenv)
         st = engine.step(st, params, lib, merged, dt=dt, gravity=-9.8,
@@ -212,11 +217,12 @@ def execute_pick_arm(lib: ShapeLib, state: SceneState, params: SceneParams,
                 not_target & st.active,
                 jnp.linalg.norm(st.pos - pos0, axis=-1), 0.0))),
             disturb)
-        return (st, w_new, c_new, ob_in_grasp, pos_close, disturb), st.pos[target]
+        return (st, w_new, c_new, tch, ob_in_grasp, pos_close, disturb), st.pos[target]
 
-    init = (state, jnp.asarray(spec.max_width), jnp.float32(0.0), jnp.eye(4),
+    init = (state, jnp.asarray(spec.max_width), jnp.float32(0.0),
+            closing_touched_init(), jnp.eye(4),
             jnp.zeros(3), jnp.float32(0.0))
-    (final, w_f, c_f, ob_in_grasp, pos_close, disturb), _ = jax.lax.scan(
+    (final, w_f, c_f, _, ob_in_grasp, pos_close, disturb), _ = jax.lax.scan(
         step_fn, init, (jnp.arange(T), qs, qs_prev, G, G_next))
 
     # hold-gate at the END OF HOLD (pre-lift), identical to the floating

@@ -34,6 +34,18 @@ DT = 1.0 / 240.0
 BAUMGARTE = 0.2
 SLOP = 2e-4
 N_ITER = 4
+# Friction passivity guard: a Jacobi solver applying every contact's full
+# tangential velocity-cancellation impulse simultaneously can diverge
+# through angular cross-coupling (measured on a rim-pinched nut: the spin
+# grew x1.4-1.9 PER ITERATION regardless of dt, reaching 6000 rad/s).
+# Physical friction is passive — it can redistribute kinetic energy
+# between the linear and angular channels (rolling) but never increase the
+# total.  Each iteration therefore scales every body's summed friction
+# delta by the largest alpha in [0,1] for which its kinetic energy does
+# not increase (closed form: the energy change is a quadratic in alpha).
+# When the iteration is stable the full delta already dissipates and
+# alpha == 1, so converged behavior is untouched.
+FRICTION_RELAX = 0.5
 # bodies at/above this mass are "static fixtures": they collide (with an
 # effectively infinite inertia) but receive no gravity, the convention used
 # for placement fixtures (the reference loads *_place.obj with baseMass=0)
@@ -56,6 +68,17 @@ class StaticEnv:
     # finger motors (``env_grasp.py:56-62``: maxForce 100 N -> budget
     # 100·dt).  inf = unbounded (bin walls, floor).
     imp_budget: jnp.ndarray  # (M,)
+    # gripping collider: its static-friction cap is backed by the motor
+    # force (mu * imp_budget split over its contacts) instead of the
+    # per-iteration normal impulse.  A frozen kinematic finger at rest
+    # delivers only the Baumgarte bias as jn (~ mu*m*0.2*pen/dt of friction
+    # — ~1.3x gravity for a steel cube, which slid out of a geometrically
+    # perfect pinch), while the reference's POSITION_CONTROL pinch presses
+    # at up to 100 N whether or not it is moving (env_grasp.py:56-62,127).
+    # Consumers raise this only while a closed gripper is HOLDING
+    # (both fingers latched, close phase over) — never for bin walls, the
+    # arm, or fingers still travelling.
+    grip: jnp.ndarray  # (M,) bool
 
     @staticmethod
     def boxes(centers, halves, quats=None, friction=0.7, imp_budget=None):
@@ -76,6 +99,7 @@ class StaticEnv:
             friction=jnp.full((m,), friction),
             enabled=jnp.ones((m,), bool),
             imp_budget=jnp.asarray(imp_budget, jnp.float32),
+            grip=jnp.zeros((m,), bool),
         )
 
     @staticmethod
@@ -221,6 +245,8 @@ def _solve_contacts(state: SceneState, params: SceneParams, lib: ShapeLib,
     R = tf.quat_to_matrix(state.quat)
     # world-frame inverse inertia (diagonal in body frame)
     inv_I_world = jnp.einsum("nij,nj,nkj->nik", R, inv_inertia, R)  # (N,3,3)
+    # forward inertia for the friction passivity guard's energy form
+    I_world = jnp.einsum("nij,nj,nkj->nik", R, params.inertia, R)  # (N,3,3)
 
     r_i = w_pts[:, :, None, :] - state.pos[:, None, None, :]  # (N,P,1->M,3) lever on i
     r_i = jnp.broadcast_to(r_i, (N, P, M_tot, 3))
@@ -251,27 +277,50 @@ def _solve_contacts(state: SceneState, params: SceneParams, lib: ShapeLib,
     cnt_j = jnp.sum(in_contact[:, :, :N], axis=(0, 1))  # (N,)
     denom = jnp.maximum(cnt_i + cnt_j, 1.0)  # scale of simultaneous impulses per body
 
+    # grip colliders: static-friction cap backed by the motor force budget,
+    # split evenly over the collider's contacts (see StaticEnv.grip)
+    cnt_m = jnp.sum(in_contact, axis=(0, 1))  # (M_tot,) contacts per collider
+    grip_j = jnp.concatenate([jnp.zeros(N, bool), env.grip])
+    budget_j = jnp.concatenate([jnp.full(N, jnp.inf), env.imp_budget])
+    jt_grip_cap = jnp.where(
+        grip_j, (budget_j / n_iter) / jnp.maximum(cnt_m, 1.0), 0.0)
+
     env_vel = jnp.concatenate([jnp.zeros((N, 3)), env.vel])  # (M_tot,3) vel of collider
     # collider angular velocity (bodies only)
     ang_j = jnp.concatenate([state.angvel, jnp.zeros((M_tot - N, 3))])
 
     def iteration(carry, _):
-        linvel, angvel = carry
+        linvel, angvel, plin, pang = carry
         v_pt_i = linvel[:, None, None, :] + jnp.cross(angvel[:, None, None, :], r_i)
         v_pt_j_b = linvel[None, None, :, :] + jnp.cross(angvel[None, None, :, :], r_j_b)
         v_pt_j = jnp.concatenate([v_pt_j_b, jnp.broadcast_to(env_vel[None, None, N:], (N, P, M_tot - N, 3))], axis=2)
         v_rel = v_pt_i - v_pt_j
         v_n = jnp.einsum("npmk,npmk->npm", v_rel, nrm)
 
-        jn = (-v_n + bias) / K_n
+        # SPLIT IMPULSE (PyBullet's default, btContactSolverInfo
+        # m_splitImpulse): the velocity channel resolves only the real
+        # relative approach; penetration recovery lives in a separate
+        # pseudo-velocity channel that moves POSITIONS this step and is
+        # then discarded.  Folding the Baumgarte bias into the persistent
+        # velocity (rounds 1-4) injects momentum every step — and since
+        # bias ~ pen/dt, halving dt doubled the per-iteration gain and a
+        # pinched nut's angular channel pumped itself from 4.5 rad/s to
+        # explosion within 3 steps at dt=1/480 (the self-parity dt sweep's
+        # KS 0.58 failure).  Positionally the pseudo channel corrects
+        # BAUMGARTE*(pen-slop) per step at ANY dt.
+        jn = (-v_n) / K_n
         jn = jnp.where(in_contact, jnp.maximum(jn, 0.0), 0.0)
 
         # impulse-budget clamp for kinematic colliders (finger motors): each
         # env collider may deliver at most imp_budget/n_iter of normal
-        # impulse per iteration across all its contacts (conservative: the
-        # Jacobi 1/denom averaging only shrinks what is delivered).  Bin
+        # impulse per iteration across all its contacts.  The budget bounds
+        # the impulse actually APPLIED — i.e. after the Jacobi 1/denom
+        # averaging (r4 compared the budget against the raw per-contact sum,
+        # which made the effective force limit ~budget/denom: a 100 N motor
+        # gripped like a ~6 N one and shake-phase holds failed).  Bin
         # walls/floor ship budget=inf so this is a no-op for them.
-        env_tot = jnp.sum(jn[:, :, N:], axis=(0, 1))  # (M_env,)
+        env_tot = jnp.sum(jn[:, :, N:] / denom[:, None, None],
+                          axis=(0, 1))  # (M_env,) delivered impulse
         env_fac = jnp.minimum(1.0, (env.imp_budget / n_iter)
                               / jnp.maximum(env_tot, 1e-12))
         fac = jnp.concatenate([jnp.ones(N), env_fac])
@@ -280,38 +329,85 @@ def _solve_contacts(state: SceneState, params: SceneParams, lib: ShapeLib,
         v_t = v_rel - v_n[..., None] * nrm
         vt_norm = jnp.linalg.norm(v_t, axis=-1)
         t_dir = v_t / (vt_norm[..., None] + 1e-9)
-        # Tangential effective mass approximated by the normal-direction K.
-        # Measured on the real instance inertias (tests/test_tangential_mass.py)
-        # the true K_t/K_n is median ~1.0 but tails to ~25x on elongated
-        # bodies (screw): the resulting friction-impulse mis-sizing is (a)
-        # hard-clamped by the mu*jn cone below, and (b) damped by the Jacobi
-        # contact-count averaging, so it shifts stick/slip CONVERGENCE RATE,
-        # not contact equilibria.  Exact K_t would need per-iteration
-        # cross+quadratic-form recompute (t_dir is velocity-dependent) in
-        # both this solver and the fused Pallas kernel (ops/fused_rollout.py)
-        # which mirrors it.
-        jt_mag = vt_norm / K_n
-        jt_mag = jnp.minimum(jt_mag, mu * jn)
+        # Exact tangential effective mass, recomputed per iteration (t_dir
+        # is velocity-dependent).  The K_t ~= K_n approximation of rounds
+        # 1-4 was safe only because the mu*jn cone clamp bounded the
+        # mis-sizing (true K_t/K_n tails to ~25x on elongated bodies,
+        # tests/test_tangential_mass.py); with motor-backed grip friction
+        # (StaticEnv.grip) the clamp is lifted and the overshoot ejected
+        # held objects at m/s scale.  The fused Pallas pile kernel
+        # (ops/fused_rollout.py) keeps the approximation — it has no grip
+        # colliders, so its cone clamp still bounds the error.
+        rixt = jnp.cross(r_i, t_dir)
+        term_i_t = jnp.einsum("npmk,nkl,npml->npm", rixt, inv_I_world, rixt)
+        rjxt = jnp.cross(r_j_b, t_dir[:, :, :N, :])
+        term_j_t_b = jnp.einsum("npbk,bkl,npbl->npb", rjxt, inv_I_world, rjxt)
+        term_j_t = jnp.concatenate(
+            [term_j_t_b, jnp.zeros((N, P, M_tot - N))], axis=2)
+        K_t = inv_mass[:, None, None] + inv_mass_j[None, None, :] \
+            + term_i_t + term_j_t
+        K_t = jnp.maximum(K_t, 1e-9)
+        jt_mag = FRICTION_RELAX * vt_norm / K_t
+        jt_cap = mu * jnp.maximum(jn, jt_grip_cap[None, None, :])
+        jt_mag = jnp.minimum(jt_mag, jt_cap)
         jt = -jt_mag[..., None] * t_dir
 
-        imp = jn[..., None] * nrm + jt  # (N,P,M,3) impulse ON body i
+        imp_n = jn[..., None] * nrm  # (N,P,M,3) normal impulse ON body i
+
+        # pseudo channel: normal-only, driven by the Baumgarte bias against
+        # the current pseudo velocities (env colliders carry none)
+        p_pt_i = plin[:, None, None, :] + jnp.cross(pang[:, None, None, :], r_i)
+        p_pt_j_b = plin[None, None, :, :] + jnp.cross(pang[None, None, :, :], r_j_b)
+        p_pt_j = jnp.concatenate(
+            [p_pt_j_b, jnp.zeros((N, P, M_tot - N, 3))], axis=2)
+        p_n = jnp.einsum("npmk,npmk->npm", p_pt_i - p_pt_j, nrm)
+        jp = (-p_n + bias) / K_n
+        jp = jnp.where(in_contact, jnp.maximum(jp, 0.0), 0.0)
+        imp_p = jp[..., None] * nrm
 
         # Jacobi averaging: each body's simultaneous impulses are scaled by
         # its own contact count so the parallel update cannot overshoot.
         scale = 1.0 / denom  # (N,)
-        dlin_i = jnp.einsum("npmk->nk", imp) * inv_mass[:, None] * scale[:, None]
-        dang_i = jnp.einsum("nij,npmj->ni", inv_I_world, jnp.cross(r_i, imp)) * scale[:, None]
 
-        imp_on_j = -imp[:, :, :N, :]  # reaction on body colliders
-        dlin_j = jnp.einsum("npbk->bk", imp_on_j) * inv_mass[:, None] * scale[:, None]
-        dang_j = jnp.einsum("bij,npbj->bi", inv_I_world, jnp.cross(r_j_b, imp_on_j)) * scale[:, None]
+        def deltas(impulse):
+            dlin_i = jnp.einsum("npmk->nk", impulse) * inv_mass[:, None] * scale[:, None]
+            dang_i = jnp.einsum("nij,npmj->ni", inv_I_world,
+                                jnp.cross(r_i, impulse)) * scale[:, None]
+            imp_on_j = -impulse[:, :, :N, :]  # reaction on body colliders
+            dlin_j = jnp.einsum("npbk->bk", imp_on_j) * inv_mass[:, None] * scale[:, None]
+            dang_j = jnp.einsum("bij,npbj->bi", inv_I_world,
+                                jnp.cross(r_j_b, imp_on_j)) * scale[:, None]
+            return dlin_i + dlin_j, dang_i + dang_j
 
-        linvel = linvel + dlin_i + dlin_j
-        angvel = angvel + dang_i + dang_j
-        return (linvel, angvel), None
+        dlin_n, dang_n = deltas(imp_n)
+        linvel = linvel + dlin_n
+        angvel = angvel + dang_n
 
-    (linvel, angvel), _ = jax.lax.scan(iteration, (state.linvel, state.angvel), None, length=n_iter)
-    return linvel, angvel
+        # friction passivity guard (see FRICTION_RELAX note): per body,
+        # scale the friction delta by the largest alpha in [0,1] that does
+        # not increase its kinetic energy.  dKE(alpha) = alpha*B + alpha^2*C
+        # with C >= 0; roots 0 and -B/C.
+        dlin_f, dang_f = deltas(jt)
+        Iw_dang = jnp.einsum("nij,nj->ni", I_world, dang_f)
+        B = params.mass * jnp.sum(linvel * dlin_f, axis=-1) \
+            + jnp.sum(jnp.einsum("nij,nj->ni", I_world, angvel) * dang_f, axis=-1)
+        C = 0.5 * (params.mass * jnp.sum(dlin_f * dlin_f, axis=-1)
+                   + jnp.sum(dang_f * Iw_dang, axis=-1))
+        alpha = jnp.where(B + C <= 0.0, 1.0,
+                          jnp.clip(-B / jnp.maximum(C, 1e-20), 0.0, 1.0))
+        linvel = linvel + alpha[:, None] * dlin_f
+        angvel = angvel + alpha[:, None] * dang_f
+
+        dplin, dpang = deltas(imp_p)
+        plin = plin + dplin
+        pang = pang + dpang
+        return (linvel, angvel, plin, pang), None
+
+    zero = jnp.zeros_like(state.linvel)
+    (linvel, angvel, plin, pang), _ = jax.lax.scan(
+        iteration, (state.linvel, state.angvel, zero, zero), None,
+        length=n_iter)
+    return linvel, angvel, plin, pang
 
 
 @partial(jax.jit, static_argnames=("n_iter", "narrowphase"))
@@ -325,24 +421,35 @@ def step(state: SceneState, params: SceneParams, lib: ShapeLib, env: StaticEnv,
     linearDamping=angularDamping=0.9 on every pile object
     (``env.py:267,295``), which PyBullet applies per second as
     v *= (1-0.9)^dt -> 0.95% velocity loss per 240 Hz step; 0.0095/step
-    here reproduces it (round 1's 0.02/0.05 over-damped by 2-5x).
+    here reproduces it (round 1's 0.02/0.05 over-damped by 2-5x).  The
+    damping argument is interpreted PER 1/240 s step and rescaled to the
+    actual dt — a fixed per-step loss would double the per-second damping
+    at dt=1/480 (caught by the self-parity harness's dt sweep).
     """
     g = jnp.array([0.0, 0.0, gravity])
     dynamic = state.active & (params.mass < STATIC_MASS)
     linvel = state.linvel + jnp.where(dynamic[:, None], g * dt, 0.0)
     st = state.replace(linvel=linvel)
 
-    linvel, angvel = _solve_contacts(st, params, lib, env, dt, n_iter, narrowphase)
-    linvel = linvel * (1.0 - linear_damping)
-    angvel = angvel * (1.0 - angular_damping)
+    linvel, angvel, plin, pang = _solve_contacts(
+        st, params, lib, env, dt, n_iter, narrowphase)
+    lin_keep = (1.0 - linear_damping) ** (dt / DT)
+    ang_keep = (1.0 - angular_damping) ** (dt / DT)
+    linvel = linvel * lin_keep
+    angvel = angvel * ang_keep
     # static bodies collide but NEVER move (PyBullet baseMass=0 semantics —
     # the huge mass does not protect against kinematic env colliders, whose
     # contacts have K_n ~ 1/m_static and push at full Baumgarte bias speed)
     linvel = jnp.where(dynamic[:, None], linvel, 0.0)
     angvel = jnp.where(dynamic[:, None], angvel, 0.0)
+    plin = jnp.where(dynamic[:, None], plin, 0.0)
+    pang = jnp.where(dynamic[:, None], pang, 0.0)
 
-    pos = state.pos + jnp.where(dynamic[:, None], linvel * dt, 0.0)
-    dq = tf.quat_mul(jnp.concatenate([jnp.zeros_like(angvel[..., :1]), angvel], axis=-1), state.quat)
+    # positions integrate real + pseudo velocities; only the real ones
+    # persist into the next step (split impulse — no Baumgarte momentum)
+    pos = state.pos + jnp.where(dynamic[:, None], (linvel + plin) * dt, 0.0)
+    ang_int = angvel + pang
+    dq = tf.quat_mul(jnp.concatenate([jnp.zeros_like(ang_int[..., :1]), ang_int], axis=-1), state.quat)
     quat = tf.quat_normalize(state.quat + 0.5 * dt * dq)
     quat = jnp.where(dynamic[:, None], quat, state.quat)
     return state.replace(pos=pos, quat=quat, linvel=linvel, angvel=angvel)

@@ -115,7 +115,8 @@ def finger_boxes(width: jnp.ndarray, spec: GripperSpec, center: jnp.ndarray = 0.
 def gripper_env(T_grasp: jnp.ndarray, width: jnp.ndarray, center: jnp.ndarray,
                 vel_pos: jnp.ndarray, vel_neg: jnp.ndarray,
                 spec: GripperSpec, friction: float = 0.9,
-                dt: float = engine.DT) -> engine.StaticEnv:
+                dt: float = engine.DT,
+                grip: jnp.ndarray | bool = False) -> engine.StaticEnv:
     """Gripper as 3 kinematic world-frame boxes (finger+, finger-, palm).
 
     ``vel_pos``/``vel_neg`` are the INWARD speeds of the +y / -y fingers
@@ -141,24 +142,82 @@ def gripper_env(T_grasp: jnp.ndarray, width: jnp.ndarray, center: jnp.ndarray,
         # attached to the same wrist) may deliver at most max_force*dt of
         # normal impulse per engine step
         imp_budget=jnp.full((3,), spec.max_force * dt),
+        # holding fingers get motor-backed static friction (engine
+        # StaticEnv.grip); the palm never grips
+        grip=jnp.asarray(grip) & jnp.array([True, True, False]),
     )
 
 
 def _object_pen_per_finger(obj_pts_grasp: jnp.ndarray, width: jnp.ndarray,
                            spec: GripperSpec, center: jnp.ndarray = 0.0):
-    """Max penetration of object points (grasp frame) into EACH finger box
-    at a given opening — the per-finger force-limit signal for the closing
-    law.  Returns ``(pen_pos, pen_neg)``."""
-    centers, halves = finger_boxes(width, spec, center)
-    rel = obj_pts_grasp[:, None, :] - centers[None, :2, :]
-    d, _ = engine.box_sdf_and_normal(rel, halves[None, :2, :])
-    pen = jnp.maximum(-jnp.min(d, axis=0), 0.0)  # (2,)
-    return pen[0], pen[1]
+    """Per-finger penetration signal for the closing law: how far the
+    extremal IN-CHANNEL object point reaches past each finger's inner face,
+    measured purely ALONG THE CLOSING AXIS.  Returns ``(pen_pos, pen_neg)``.
+
+    Axis-projected on purpose (not the finger boxes' SDF): with in-channel
+    extremes this makes ``pen_pos + pen_neg == channel extent - width`` an
+    exact identity, so the per-finger squeeze stops (pen = max_squeeze_pen)
+    and the extent-based width floor in :func:`closing_step` agree to the
+    millimeter.  The box SDF under-reports penetration for points near a
+    finger edge/tip (the corner distance dominates the face depth), which
+    in r5 debugging left one finger at 0.2 mm effective squeeze on a tilted
+    cube — too weak a grip to survive the gravity shake.
+
+    SIGNED: negative = clearance to the face, so the closing law can land a
+    free finger at an exact target depth in one tick instead of blind
+    stepping (no first-contact overshoot, no per-tick chase of a recoiling
+    object).  With no in-channel point the "object face" is infinitely far:
+    a large negative sentinel (an air grasp closes at full speed)."""
+    in_ch = closing_channel_mask(obj_pts_grasp, spec)
+    y = obj_pts_grasp[:, 1]
+    f_pos = center + width / 2
+    f_neg = center - width / 2
+    pen_p = jnp.max(jnp.where(in_ch, y - f_pos, -jnp.inf))
+    pen_n = jnp.max(jnp.where(in_ch, f_neg - y, -jnp.inf))
+    any_ch = jnp.any(in_ch)
+    pen_p = jnp.where(any_ch, pen_p, -1e3)
+    pen_n = jnp.where(any_ch, pen_n, -1e3)
+    return pen_p, pen_n
+
+
+# first-contact latch threshold: just above the Baumgarte resting
+# penetration (engine.SLOP = 0.2 mm) so a finger latches on real overlap
+# but a settled touch cannot re-trigger advance
+CONTACT_TOL = 2.5e-4
+# touch-down speed (m/s): a free finger brakes near the object face and
+# creeps into contact at this speed.  The engine's contact solve matches
+# the object's normal velocity to the (kinematic) finger's, so landing at
+# the full closing speed bats a free-floating object across the channel
+# (measured: +3.2 mm drift -> squeeze slam -> rotated, over-closed grip)
+LAND_SPEED = 0.02
+# squeeze speed (m/s): once both fingers have touched, penetration is
+# driven to max_squeeze_pen at this bounded speed — force development, not
+# travel; at the full closing speed the pair slams the trapped object
+# (measured: 3.2 mm one-sided penetration and a 0.13 m/s kick in 4 ticks)
+SQUEEZE_SPEED = 0.05
+# grip press (m/s^2): after the close, a real POSITION_CONTROL motor keeps
+# pressing at up to its force limit; a frozen kinematic finger delivers
+# only the Baumgarte bias (~ mu*m*0.2*pen/dt of friction — 1.3x gravity
+# for a steel cube, which slid out of a geometrically perfect pinch).  So
+# during hold/shake the finger colliders carry a commanded inward contact
+# velocity PRESS_ACCEL*dt: the solver's per-step squeeze impulse becomes
+# ~m*PRESS_ACCEL*dt from each side (a dt-invariant force m*PRESS_ACCEL,
+# friction margin mu*PRESS_ACCEL/g ~= 7.6x nominal (~halved by the Jacobi contact-count averaging) for ANY object mass), still
+# hard-capped by the finger's imp_budget = the reference's 100 N
+# (env_grasp.py:56-62).  Finger POSITIONS stay latched — the press exists
+# only in contact resolution.
+PRESS_ACCEL = 100.0
+
+
+def closing_touched_init():
+    """Initial per-finger first-contact latch state for ``closing_step``
+    scans: (2,) bool, [touched_pos_finger, touched_neg_finger]."""
+    return jnp.zeros((2,), bool)
 
 
 def closing_step(obj_pts_grasp: jnp.ndarray, width: jnp.ndarray,
-                 center: jnp.ndarray, closing: jnp.ndarray,
-                 spec: GripperSpec, dt: float):
+                 center: jnp.ndarray, touched: jnp.ndarray,
+                 closing: jnp.ndarray, spec: GripperSpec, dt: float):
     """One tick of the force-limited closing law, shared by every consumer
     (``grasp_rollout``, the in-pile pick in ``pipelines.run_grasp_simulation``
     and the arm executor in ``sim.arm``) so they cannot drift.
@@ -174,28 +233,101 @@ def closing_step(obj_pts_grasp: jnp.ndarray, width: jnp.ndarray,
     channel points sat 4-22 mm to one side; the close shoved the part
     46-69 mm along +y, ``logs/pickdbg_r4f``).
 
-    Per-finger force limit here: a finger's advance this tick is capped by
-    its own squeeze-penetration allowance (``max_squeeze_pen`` — the
-    compliance the reference's 100 N develops against PyBullet's contact
-    ERP; calibration note in GripperSpec), and the engine separately clamps
-    each finger collider's delivered impulse at ``max_force*dt`` per step
-    (``StaticEnv.imp_budget``).  For a centered object this reduces exactly
-    to the old symmetric law (each finger closes half the width at the
-    shared allowance).
+    The stall is a sticky FIRST-CONTACT LATCH (``touched``, threaded through
+    the caller's scan carry), not a raw penetration test.  Raw penetration
+    RATCHETS on a free object: the finger's contact shoves the object, the
+    object recoils, penetration collapses, and the finger re-advances —
+    chasing the object across the channel exactly like the symmetric law it
+    replaced (measured r4->r5: an 8 mm off-center cube was dragged 6 mm to
+    the midline with the midline never moving).  With the latch the law has
+    three regimes per finger, all expressed as one target depth vs the
+    SIGNED axis-projected penetration (negative = clearance):
 
-    Returns ``(new_width, new_center, v_pos, v_neg)`` where v_* are the
-    fingers' inward speeds for ``gripper_env``."""
+      free       (never touched)          target ``CONTACT_LAND`` past the
+                                          object face — lands exactly there
+                                          (no overshoot momentum), capped
+                                          at ``close_speed/2`` per second
+      wall       (touched, other free)    hold position, but YIELD (retreat)
+                                          if its penetration exceeds
+                                          ``max_squeeze_pen`` — a
+                                          POSITION_CONTROL motor at its
+                                          force limit gives way, it does
+                                          not become an infinitely stiff
+                                          fixture
+      squeeze    (both touched)           object trapped; drive own
+                                          penetration TO ``max_squeeze_pen``
+                                          from either side (advance or
+                                          retreat), so the pair settles at
+                                          a symmetric squeeze — the
+                                          compliance the reference's two
+                                          balanced 100 N motors develop vs
+                                          PyBullet's contact ERP
+                                          (GripperSpec calibration note).
+                                          Without retreat, the object the
+                                          far finger shoved back across its
+                                          drift gap slams the near face
+                                          (measured: 3.4 mm vs 0.4 mm
+                                          split) and the weak side slips
+                                          under the gravity shake.
+
+    The engine separately clamps each finger collider's delivered impulse
+    at ``max_force*dt`` per step (``StaticEnv.imp_budget``).  For a
+    centered object both fingers latch together and the law reduces to the
+    old symmetric one.  As a backstop the width is floored at the
+    in-channel object extent minus the two-sided allowance — with the
+    axis-projected pens this floor and the per-finger squeeze stops satisfy
+    ``pen_p + pen_n = extent - width`` exactly, so they agree.  All
+    quantities are positional, so the law is dt-invariant to one tick's
+    travel (the self-parity harness sweeps dt/n_iter to bound solver
+    sensitivity).
+
+    Returns ``(new_width, new_center, new_touched, v_pos, v_neg)`` where
+    v_* are the fingers' inward speeds for ``gripper_env``."""
     pen_p, pen_n = _object_pen_per_finger(obj_pts_grasp, width, spec, center)
+    touched = touched | jnp.stack([pen_p > CONTACT_TOL, pen_n > CONTACT_TOL])
+    both = touched[0] & touched[1]
     half_step = spec.close_speed * dt / 2
-    df_p = jnp.where(closing, jnp.minimum(
-        half_step, jnp.maximum(spec.max_squeeze_pen - pen_p, 0.0)), 0.0)
-    df_n = jnp.where(closing, jnp.minimum(
-        half_step, jnp.maximum(spec.max_squeeze_pen - pen_n, 0.0)), 0.0)
-    # never close past zero opening (shared budget, split pro rata)
+
+    creep = LAND_SPEED * dt
+
+    def advance(own_touched, own_pen):
+        # free: full speed far out, brake by halving the clearance, creep
+        # into contact at LAND_SPEED (soft landing — no batting kick)
+        free = jnp.minimum(half_step, jnp.maximum(-0.5 * own_pen, creep))
+        # squeeze: drive own penetration to max_squeeze_pen at the bounded
+        # SQUEEZE_SPEED; overshoot retreats (a POSITION_CONTROL motor at
+        # its force limit yields) at half that — a wall that gives way as
+        # fast as the other finger closes re-creates the symmetric drag
+        err = spec.max_squeeze_pen - own_pen
+        sq_step = SQUEEZE_SPEED * dt
+        squeeze = jnp.where(
+            err >= 0,
+            jnp.minimum(jnp.minimum(sq_step, half_step), err + creep),
+            -jnp.minimum(sq_step / 2, -err))
+        # lone wall: holds position, yields only beyond the force limit
+        wall = -jnp.minimum(sq_step / 2, jnp.maximum(-err, 0.0))
+        return jnp.where(~own_touched, free, jnp.where(both, squeeze, wall))
+
+    df_p = jnp.where(closing, advance(touched[0], pen_p), 0.0)
+    df_n = jnp.where(closing, advance(touched[1], pen_n), 0.0)
+    # width floor: object channel extent minus two-sided allowance (0 when
+    # nothing is in the channel — an air grasp closes fully)
+    in_ch = closing_channel_mask(obj_pts_grasp, spec)
+    y = obj_pts_grasp[:, 1]
+    ymax = jnp.max(jnp.where(in_ch, y, -jnp.inf))
+    ymin = jnp.min(jnp.where(in_ch, y, jnp.inf))
+    extent = jnp.where(jnp.any(in_ch), ymax - ymin, 0.0)
+    min_width = jnp.maximum(extent - 2.0 * spec.max_squeeze_pen, 0.0)
+    # floor backstop: shrink the ADVANCES (retreats untouched) so
+    # width_new >= min_width
+    cap_total = jnp.maximum(width - min_width, 0.0)
     total = df_p + df_n
-    scale = jnp.where(total > width, width / jnp.maximum(total, 1e-9), 1.0)
-    df_p, df_n = df_p * scale, df_n * scale
-    return (width - df_p - df_n, center - (df_p - df_n) / 2,
+    adv = jnp.maximum(df_p, 0.0) + jnp.maximum(df_n, 0.0)
+    excess = jnp.maximum(total - cap_total, 0.0)
+    shrink = jnp.maximum(1.0 - excess / jnp.maximum(adv, 1e-9), 0.0)
+    df_p = jnp.where(df_p > 0, df_p * shrink, df_p)
+    df_n = jnp.where(df_n > 0, df_n * shrink, df_n)
+    return (width - df_p - df_n, center - (df_p - df_n) / 2, touched,
             df_p / dt, df_n / dt)
 
 
@@ -240,30 +372,33 @@ def grasp_rollout(lib: ShapeLib, shape_id: jnp.ndarray, scale: jnp.ndarray,
     n_shake = int(round(N_SHAKE_STEPS * engine.DT / dt))
 
     def step_fn(carry, i):
-        st, w, c = carry
+        st, w, c, tch = carry
         closing = i < n_close
         gravity_on = i >= n_close
 
         R = tf.quat_to_matrix(st.quat[0])
         pts_w = st.pos[0] + lib.surf_pts[shape_id] * scale @ R.T
         pts_g = tf.transform_points(T_inv, pts_w)
-        w_new, c_new, v_p, v_n = closing_step(pts_g, w, c, closing, spec, dt)
+        w_new, c_new, tch, v_p, v_n = closing_step(
+            pts_g, w, c, tch, closing, spec, dt)
 
         env = gripper_env(T_grasp, w_new, c_new, v_p, v_n, spec,
-                          gripper_friction, dt=dt)
+                          gripper_friction, dt=dt,
+                          grip=~closing & tch[0] & tch[1])
         g = jnp.where(gravity_on, SHAKE_GRAVITY, 0.0)
         st = engine.step(st, params, lib, env, dt=dt, gravity=g,
                          n_iter=n_iter, narrowphase=narrowphase)
-        return (st, w_new, c_new), None
+        return (st, w_new, c_new, tch), None
 
     # two scans so the post-close (pre-gravity) state is observable: the
     # reference's try_grasp RESTORES to this state after its gravity
     # stability test (``env_semantic_grasp.py:103-120``) — contacts and the
     # attached in-hand pose come from the close phase only
-    (post_close, w_close, c_close), _ = jax.lax.scan(
-        step_fn, (state, w0, jnp.zeros_like(w0)), jnp.arange(n_close))
-    (final, w_final, c_final), _ = jax.lax.scan(
-        step_fn, (post_close, w_close, c_close),
+    (post_close, w_close, c_close, tch_close), _ = jax.lax.scan(
+        step_fn, (state, w0, jnp.zeros_like(w0), closing_touched_init()),
+        jnp.arange(n_close))
+    (final, w_final, c_final, _), _ = jax.lax.scan(
+        step_fn, (post_close, w_close, c_close, tch_close),
         jnp.arange(n_close, n_close + n_shake))
     disp = jnp.linalg.norm(final.pos[0])
     success = (~collided) & (disp <= SUCCESS_DISP)

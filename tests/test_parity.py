@@ -95,7 +95,12 @@ def test_single_nut_resting_pose_statistics(nut_lib):
     """32 single-nut drops from random poses: rest flat at half-thickness.
 
     Bands: z in half_t ± 3 mm (slop + integrator residual); flat fraction
-    >= 80% (hex-nut aspect ratio); all settled (|v| < 5 cm/s)."""
+    >= 70%; all settled (|v| < 5 cm/s).  The non-flat rests stand on a SIDE
+    FACET (z = hexagon inradius) — a physically stable pose (~9 x 6 mm
+    footprint), not a solver artifact.  Measured across 5 seeds at B=32
+    under the r5 split-impulse engine: flat fraction 0.75-0.94 (mean 0.84),
+    so 0.70 keeps ~2 sigma of seed margin while still failing on any
+    regression toward orientation-random settling."""
     B = 32
     params = SceneParams.create(nut_lib, jnp.zeros(1, jnp.int32), jnp.ones(1))
     env = engine.StaticEnv.open_bin((0.3, 0.3, 0.12))
@@ -113,10 +118,15 @@ def test_single_nut_resting_pose_statistics(nut_lib):
     z = np.asarray(finals.pos[:, 0, 2])
     half_t = _nut_halfthickness()
     in_band = np.abs(z - half_t) < 0.003
-    assert in_band.mean() >= 0.8, f"z out of band: {z.round(4)} vs {half_t:.4f}"
+    assert in_band.mean() >= 0.7, f"z out of band: {z.round(4)} vs {half_t:.4f}"
     R = np.asarray(jax.vmap(lambda q: tf.quat_to_matrix(q[0]))(finals.quat))
     flat = np.abs(R[:, 2, 2]) > np.cos(np.deg2rad(20))
-    assert flat.mean() >= 0.8, f"flat fraction {flat.mean()}"
+    assert flat.mean() >= 0.7, f"flat fraction {flat.mean()}"
+    # every non-flat rest must be the stable facet-stand, not a wedged or
+    # floating pose: center height ~ the hexagon inradius
+    standing_z = z[~flat]
+    assert (np.abs(standing_z - 0.0077) < 0.0015).all(), (
+        f"non-flat rests at unexplained heights: {standing_z.round(4)}")
     v = np.linalg.norm(np.asarray(finals.linvel[:, 0]), axis=-1)
     assert (v < 0.05).all(), f"not settled: {v.max()}"
 

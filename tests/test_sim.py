@@ -133,8 +133,12 @@ def test_per_finger_close_holds_off_center_object(lib):
     (here 8 mm), which in-pile ejected rim-pinched parts (the r4
     oracle-nut codebook-grasp regression, ``logs/pickdbg_r4f``)."""
     off = 0.008  # grasp center 8 mm off the cube center along closing y
+    # grasp origin z=0.018: the palm extends UP from the grasp origin
+    # (finger_boxes), so it must clear the 30 mm cube's top face at z=0.015
+    # — at the nut tests' z=0.006 the palm starts inside the cube and
+    # open_gripper_collision correctly rejects the pose
     roll = eg.grasp_rollout(lib, jnp.int32(0), jnp.float32(1.0),
-                            top_down_grasp([off, 0.0, 0.006]))
+                            top_down_grasp([off, 0.0, 0.018]))
     assert bool(roll["success"])
     # pinched in place, not dragged to the midline
     assert float(roll["displacement"]) < 0.005
@@ -142,3 +146,18 @@ def test_per_finger_close_holds_off_center_object(lib):
     # -off in the grasp frame
     assert abs(float(roll["width"]) - 0.03) < 0.008
     assert abs(float(roll["center"]) + off) < 0.004
+
+
+def test_pinched_nut_stable_at_fine_dt(lib):
+    """Solver-stability regression (r5): a rim-pinched nut at dt=1/480 must
+    hold without the angular channel pumping itself to explosion.  Guards
+    two engine properties at once: split-impulse Baumgarte (bias injects no
+    momentum, so its 1/dt scaling cannot double the loop gain at fine dt)
+    and the friction passivity clamp (a body's summed friction delta may
+    never increase its kinetic energy).  Pre-fix this exact setup reached
+    6000 rad/s and flew meters (see engine.FRICTION_RELAX note)."""
+    roll = eg.grasp_rollout(lib, jnp.int32(1), jnp.float32(1.0),
+                            top_down_grasp([0, 0, 0.006]),
+                            dt=1.0 / 480.0)
+    assert bool(roll["success"])
+    assert float(roll["displacement"]) < 0.01

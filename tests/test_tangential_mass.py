@@ -1,14 +1,17 @@
-"""Quantify the engine's K_t ~= K_n tangential-mass approximation.
+"""Quantify the K_t / K_n tangential-mass ratio on real inertias.
 
-VERDICT r2 weak #7: ``sim/engine.py`` sizes friction impulses with the
-normal-direction effective mass.  This test measures the true ratio
-K_t/K_n over sampled contact geometry on the real per-class inertia
-tensors and pins the distribution the approximation was accepted under:
-median ~1, with heavy tails that are rendered harmless by the mu*jn cone
-clamp and Jacobi contact-count averaging (see the engine comment at the
-``jt_mag`` computation).  Reference analog: PyBullet solves the full
-per-direction Schur complement (btSequentialImpulseConstraintSolver), so
-any future exact-K_t upgrade should keep these stats as its baseline.
+History: rounds 1-4 sized friction impulses with the normal-direction
+effective mass (VERDICT r2 weak #7); this test pinned the distribution
+that approximation was accepted under (median ~1, tails to ~25x on the
+screw).  In round 5 ``sim/engine.py`` switched to the EXACT per-iteration
+K_t (the r5 motor-backed grip friction lifted the mu*jn cone clamp that
+had kept the mis-sizing harmless, and the overshoot ejected held objects),
+matching PyBullet's per-direction Schur complement
+(btSequentialImpulseConstraintSolver).  The distribution below remains the
+record of WHY exactness matters (the tails), and still bounds the error of
+the fused Pallas pile kernel (ops/fused_rollout.py), which keeps the
+approximation — it has no grip colliders, so its cone clamp still bounds
+the error.
 """
 import numpy as np
 import pytest
