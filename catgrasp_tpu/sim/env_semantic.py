@@ -39,7 +39,13 @@ from .types import SceneParams, SceneState, ShapeLib
 #   v2 = drift-faithful try_grasp (post-close drift carried through insert
 #        AND drop, fingers-only insertion sweep; commit 3498151) — every
 #        label committed at/after 004d086 was produced by this code.
-TRY_GRASP_VERSION = 2
+#   v3 = r5 physics overhaul: latched per-finger closing law (soft landing,
+#        bounded squeeze, force-limit yield), motor-backed grip friction
+#        (StaticEnv.grip), exact tangential effective mass, split-impulse
+#        Baumgarte, friction passivity guard.  All v2 labels were scored by
+#        a close law whose own hold test failed and whose dt-sensitivity
+#        the self-parity harness flagged (VERDICT r4 #1).
+TRY_GRASP_VERSION = 3
 
 # Task poses relative to the fixture origin: (pre-place, place) object poses
 # — the ``place_pose_dict`` analog (``Utils.py:15-24``), adapted to the
