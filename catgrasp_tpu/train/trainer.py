@@ -138,6 +138,18 @@ class Trainer:
         n_epochs = max(n_epochs, start_epoch + 1)
         if max_seconds is None:
             max_seconds = self.cfg.get("max_seconds")
+        # val-plateau response (r5, VERDICT r4 #5): the r4e grasp-net run's
+        # val loss ROSE from epoch 3 with no lr action — the MultiStepLR
+        # milestones assume the reference's 20k-scene dataset and 70-epoch
+        # horizon.  With plateau_patience > 0, after that many epochs
+        # without a val improvement the trainer reverts to the best_val
+        # params and restarts the optimizer at start_lr * plateau_gamma^k
+        # (fresh Adam moments — a warm restart at lower lr, the same
+        # cross-session continuation semantics as --init_params).
+        plateau_patience = int(self.cfg.get("plateau_patience", 0))
+        plateau_gamma = float(self.cfg.get("plateau_gamma", 0.3))
+        lr_scale, since_best = 1.0, 0
+        steps_per_epoch = max(int(self.cfg.get("steps_per_epoch", 100)), 1)
         t_start = _time.monotonic()
         step_fn = make_train_step(self.loss_fn, self.mesh)
         rng = jax.random.PRNGKey(self.cfg.get("random_seed", 0))
@@ -204,7 +216,29 @@ class Trainer:
                 rec["val_loss"] = val_loss
                 if val_loss < self.best_val:
                     self.best_val = val_loss
+                    since_best = 0
                     save_checkpoint(f"{self.ckpt_dir}/best_val.ckpt", state, epoch)
+                else:
+                    since_best += 1
+                    if plateau_patience and since_best >= plateau_patience:
+                        lr_scale *= plateau_gamma
+                        since_best = 0
+                        cfg2 = dict(self.cfg)
+                        cfg2["start_lr"] = (self.cfg.get("start_lr", 0.01)
+                                            * lr_scale)
+                        best_path = f"{self.ckpt_dir}/best_val.ckpt"
+                        params = state.params
+                        if os.path.exists(best_path):
+                            best_state, _ = load_checkpoint(best_path, state)
+                            params = best_state.params
+                        state = TrainState.create(
+                            apply_fn=state.apply_fn, params=params,
+                            tx=make_optimizer(cfg2, steps_per_epoch))
+                        rec["plateau_restart_lr_scale"] = lr_scale
+                        if verbose:
+                            print(f"epoch {epoch}: val plateau — reverting "
+                                  f"to best_val, lr x{lr_scale:.3g}",
+                                  flush=True)
                 if verbose:
                     print(f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f}")
             mlog.event("epoch", **rec)

@@ -78,3 +78,26 @@ def test_max_seconds_bound_checkpoints_partial_epoch(tmp_path):
     epochs = [l for l in lines if l["kind"] == "epoch"]
     assert len(epochs) == 1  # stopped inside epoch 0
     assert int(out.step) == 2  # exactly one log interval of steps ran
+
+
+def test_val_plateau_reverts_to_best_and_decays_lr(tmp_path):
+    """r5 (VERDICT r4 #5): with plateau_patience set, epochs without a val
+    improvement trigger a revert-to-best_val warm restart at a decayed lr,
+    recorded in the metrics JSONL."""
+    model = PointNetCls(n_out=10)
+    # lr 0 => train/val losses are CONSTANT => every epoch after the first
+    # is a plateau epoch; patience 1 => a restart on every later epoch
+    cfg = {"n_epochs": 4, "start_lr": 0.0, "batch_size": 4,
+           "lr_milestones": [], "random_seed": 0,
+           "plateau_patience": 1, "plateau_gamma": 0.5}
+    x0 = jnp.zeros((4, 64, 6))
+    state = T.create_state(model, cfg, x0)
+    tr = T.Trainer(model=model, cfg=cfg, loss_fn=_loss, train_data=_data(),
+                   val_data=_data(2), ckpt_dir=str(tmp_path))
+    state = tr.fit(state, verbose=False)
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    scales = [l["plateau_restart_lr_scale"] for l in lines
+              if l["kind"] == "epoch" and "plateau_restart_lr_scale" in l]
+    assert scales, "no plateau restart recorded"
+    # geometric decay: each recorded restart halves the scale again
+    assert scales == [0.5 ** (i + 1) for i in range(len(scales))]
