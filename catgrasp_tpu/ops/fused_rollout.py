@@ -20,13 +20,20 @@ rollout:
   (shape params vary per scene, i.e. per lane): one analytic SDF+normal
   eval per collider; env boxes use the analytic box normal.
 
-Numerical contract: same algorithm as ``engine.step`` (Baumgarte, Coulomb
-clamp via normal-K approximation, Jacobi contact-count averaging,
-semi-implicit Euler, per-step damping); bf16 narrowphase storage makes
-trajectories agree to ~1e-2 m over 50 steps
-(tested vs the reference engine in ``tests/test_fused_rollout.py``), which
-is within the engine's own chaos horizon for pile dynamics — distributions,
+Numerical contract: the r4 ``engine.step`` algorithm (velocity-channel
+Baumgarte, Coulomb clamp via the normal-K approximation, Jacobi
+contact-count averaging, semi-implicit Euler, per-step damping).  The r5
+engine moved to split-impulse Baumgarte + exact tangential mass + a
+friction passivity guard for GRIP stability (sim/engine.py notes); this
+kernel intentionally keeps the r4 scheme — it simulates free pile settling
+only (no grip colliders), where the mu*jn cone clamp bounds the friction
+mis-sizing and the bias momentum only perturbs the settle transient.
+Trajectories agree with ``engine.step`` to ~1e-2 m over 50 steps and to
+matching settle statistics (``tests/test_fused_rollout.py``), which is
+within the engine's own chaos horizon for pile dynamics — distributions,
 not trajectories, are the parity target (SURVEY §7 "hard parts").
+Production pile generation (sim/env_pile.py) runs the REAL engine; this
+kernel is the throughput-benchmark path (bench.py).
 
 Reference analog: the entire ``p.stepSimulation`` hot loop
 (``pybullet_env/env.py:299-344``) including Bullet's C++ solver.
