@@ -167,7 +167,11 @@ def _march_kernel(n_bodies, n_env, n_steps, hit_eps,
         def do(carry):
             t, _ = carry
             phi = phi_at(t)
-            step = jnp.clip(phi, hit_eps * 0.5, 0.05)
+            # no step cap: the analytic CSG phi is an exact-or-conservative
+            # lower bound, so stepping the full distance never crosses a
+            # surface; background rays hit tmax in a few steps, which lets
+            # the all-converged tile exit fire much earlier
+            step = jnp.maximum(phi, hit_eps * 0.5)
             done = (phi < hit_eps) | (t >= tmax)
             t2 = jnp.where(done, t, jnp.minimum(t + step, tmax))
             still = (phi >= hit_eps) & (t2 < tmax)

@@ -136,6 +136,14 @@ def _render_impl(lib: ShapeLib, state: SceneState, params: SceneParams,
                          n_steps=n_steps, hit_eps=HIT_EPS,
                          interpret=jax.default_backend() != "tpu")
     else:
+        # Analytic CSG distances are exact-or-conservative lower bounds
+        # (union = min is exact; subtraction max(d,-d) underestimates), so
+        # an uncapped sphere-trace step can never cross a surface — and
+        # background rays reach tmax in a handful of steps instead of
+        # tmax/cap.  Baked grids carry trilinear interpolation error, so
+        # the grid path keeps a step cap.
+        step_cap = 0.05 if geometry == "grid" else jnp.float32(jnp.inf)
+
         def march(carry, _):
             t, done = carry
             x = o_w + t[:, None] * d_w
@@ -143,7 +151,7 @@ def _render_impl(lib: ShapeLib, state: SceneState, params: SceneParams,
             phi = jnp.min(phi_b, axis=-1)
             if with_env and env is not None:
                 phi = jnp.minimum(phi, _env_sdf(env, x))
-            step = jnp.clip(phi, HIT_EPS * 0.5, 0.05)
+            step = jnp.clip(phi, HIT_EPS * 0.5, step_cap)
             newly_done = phi < HIT_EPS
             t = jnp.where(done | newly_done, t, jnp.minimum(t + step, tmax))
             return (t, done | newly_done | (t >= tmax)), None
@@ -172,29 +180,35 @@ def _render_impl(lib: ShapeLib, state: SceneState, params: SceneParams,
     nocs = (loc_win - b[:, 0]) / jnp.maximum(b[:, 1] - b[:, 0], 1e-9)
     nocs = jnp.where((seg >= 0)[:, None], jnp.clip(nocs, 0.0, 1.0), 0.0)
 
-    # world normal from the winning body's CSG gradient.  Evaluated for ALL
-    # bodies at once (same shape-gather-per-body pattern as _scene_sdf) and
-    # selected per pixel — one vectorized VPU pass instead of a serialized
-    # lax.map over pixel chunks; the redundant non-winning-body work is
-    # ~1/n_steps of the march cost
+    # world normal from the winning body's CSG gradient
     if geometry == "grid":
+        # a per-pixel gather of the winning body's whole SDF grid would
+        # materialize (P, D^3): keep the all-bodies pass and select
         def per_body_normal(shape_id, pts_loc):
             _, n = sdflib.query_and_grad(
                 lib.sdf_values[shape_id], lib.sdf_lower[shape_id],
                 lib.sdf_spacing[shape_id], pts_loc)
             return n  # body-local frame
+
+        n_loc = jax.vmap(per_body_normal, in_axes=(0, -2), out_axes=-2)(
+            params.shape_id, loc)  # (P, N, 3)
+        Rall = tf.quat_to_matrix(state.quat)  # (N,3,3)
+        n_w = jnp.einsum("bij,pbj->pbi", Rall, n_loc)
+        normal = jnp.take_along_axis(
+            n_w, body[:, None, None].repeat(3, -1), axis=1)[:, 0]
     else:
-        def per_body_normal(shape_id, pts_loc):
-            shape = csglib.select_shape(lib.csg, shape_id)
-            _, n = csglib.csg_sdf_and_normal(shape, pts_loc)
+        # only the seg-winning body's normal survives selection, so gather
+        # its (tiny) CSG parameter rows per pixel and evaluate ONE primitive
+        # stack — (P, 3) gradient work instead of the (P, N, 3) all-bodies
+        # pass, which dominated the full-res label cost
+        def norm_one(sid, pt):
+            shape = csglib.select_shape(lib.csg, sid)
+            _, n = csglib.csg_sdf_and_normal(shape, pt)
             return n  # body-local frame
 
-    n_loc = jax.vmap(per_body_normal, in_axes=(0, -2), out_axes=-2)(
-        params.shape_id, loc)  # (P, N, 3)
-    Rall = tf.quat_to_matrix(state.quat)  # (N,3,3)
-    n_w = jnp.einsum("bij,pbj->pbi", Rall, n_loc)
-    normal = jnp.take_along_axis(
-        n_w, body[:, None, None].repeat(3, -1), axis=1)[:, 0]
+        n_loc_win = jax.vmap(norm_one)(params.shape_id[body], loc_win)
+        R_win = tf.quat_to_matrix(state.quat)[body]  # (P,3,3)
+        normal = jnp.einsum("pij,pj->pi", R_win, n_loc_win)
     # camera frame, oriented toward the camera — matching the reference's
     # o3d normal maps (``tool.py:96-122`` orients at the camera origin) and
     # consistent with the cam-frame ``xyz`` cloud below.
