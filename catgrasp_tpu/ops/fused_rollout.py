@@ -20,14 +20,17 @@ rollout:
   (shape params vary per scene, i.e. per lane): one analytic SDF+normal
   eval per collider; env boxes use the analytic box normal.
 
-Numerical contract: the r4 ``engine.step`` algorithm (velocity-channel
-Baumgarte, Coulomb clamp via the normal-K approximation, Jacobi
-contact-count averaging, semi-implicit Euler, per-step damping).  The r5
-engine moved to split-impulse Baumgarte + exact tangential mass + a
-friction passivity guard for GRIP stability (sim/engine.py notes); this
-kernel intentionally keeps the r4 scheme — it simulates free pile settling
-only (no grip colliders), where the mu*jn cone clamp bounds the friction
-mis-sizing and the bias momentum only perturbs the settle transient.
+Numerical contract: the r5 ``engine.step`` algorithm — SPLIT-IMPULSE
+Baumgarte (penetration recovery in a per-step pseudo-velocity channel that
+moves positions and is discarded, so the bias never injects momentum; the
+r4 bias-in-velocity scheme was the self-parity dt-sweep failure),
+FRICTION_RELAX-scaled Coulomb friction, Jacobi contact-count averaging,
+semi-implicit Euler, per-1/240s-step damping rescaled to dt.  Two r5
+engine refinements are intentionally NOT mirrored, with the engine's own
+justification (sim/engine.py:332-340): exact tangential effective mass and
+the friction passivity guard exist for GRIP stability — this kernel
+simulates free pile settling only (no grip colliders), where the mu*jn
+cone clamp bounds the K_t ~= K_n friction mis-sizing.
 Trajectories agree with ``engine.step`` to ~1e-2 m over 50 steps and to
 matching settle statistics (``tests/test_fused_rollout.py``), which is
 within the engine's own chaos horizon for pile dynamics — distributions,
@@ -57,6 +60,7 @@ LANES = 128
 BAUMGARTE = 0.2
 SLOP = 2e-4
 STATIC_MASS = 1e8
+FRICTION_RELAX = 0.5  # engine.FRICTION_RELAX — under-relaxed Jacobi friction
 
 
 # ---------------------------------------------------------------------------
@@ -190,6 +194,11 @@ def _make_kernel(N, P, S, M_env, n_steps, n_iter, dt, gravity,
     M_tot = N + M_env
     g_dt = gravity * dt
     inv_dt_b = BAUMGARTE / dt
+    # damping is calibrated per 1/240 s step (engine.step docstring);
+    # rescale to the actual dt so halving dt does not double the per-second
+    # velocity loss
+    lin_keep = (1.0 - linear_damping) ** (dt / sim.engine.DT)
+    ang_keep = (1.0 - angular_damping) ** (dt / sim.engine.DT)
 
     def kernel(pos_ref, quat_ref, lin_ref, ang_ref, act_ref, dyn_ref,
                im_ref, iI_ref, fric_ref, scl_ref,
@@ -337,15 +346,20 @@ def _make_kernel(N, P, S, M_env, n_steps, n_iter, dt, gravity,
             scale_body = 1.0 / denom  # (N, L)
 
             # ---- Jacobi iterations (fori_loop: body traced once — the
-            # python-unrolled version quadruples Mosaic compile time) ------
+            # python-unrolled version quadruples Mosaic compile time).
+            # Split impulse (engine._solve_contacts): the real velocity
+            # channel resolves only the actual relative approach; the
+            # Baumgarte bias drives a separate pseudo-velocity channel
+            # (plin/pang) that moves positions this step and is discarded.
             def jacobi_iter(_i, la):
-                lin, ang = la
+                lin, ang, plin, pang = la
                 zl = jnp.zeros_like(lin[:, 0])  # (N, L)
-                dlx, dly, dlz = zl, zl, zl
-                dax, day, daz = zl, zl, zl
                 zL = jnp.zeros_like(lin[0, 0])  # (L,)
-                rl = [[zL, zL, zL] for _ in range(N)]  # linear reactions
-                ra = [[zL, zL, zL] for _ in range(N)]  # angular reactions
+                # [real, pseudo] accumulators on i: lin xyz + ang xyz
+                acc = [[zl, zl, zl, zl, zl, zl] for _ in range(2)]
+                # [real, pseudo] reaction lists on j: (rl, ra) each
+                rx = [[[[zL, zL, zL] for _ in range(N)] for _ in range(2)]
+                      for _ in range(2)]
                 for j in range(M_tot):
                     phi = phi_s[j].astype(jnp.float32)
                     nx = nx_s[j].astype(jnp.float32)
@@ -357,91 +371,123 @@ def _make_kernel(N, P, S, M_env, n_steps, n_iter, dt, gravity,
                     bias = inv_dt_b * jnp.maximum(pen - SLOP, 0.0)
 
                     rix = [w[c] - pos[:, c][:, None] for c in range(3)]
-                    vx = (lin[:, 0][:, None]
-                          + ang[:, 1][:, None] * rix[2] - ang[:, 2][:, None] * rix[1])
-                    vy = (lin[:, 1][:, None]
-                          + ang[:, 2][:, None] * rix[0] - ang[:, 0][:, None] * rix[2])
-                    vz = (lin[:, 2][:, None]
-                          + ang[:, 0][:, None] * rix[1] - ang[:, 1][:, None] * rix[0])
                     if j < N:
                         rjx = [w[c] - pos[j, c][None] for c in range(3)]
-                        vjx = (lin[j, 0][None]
-                               + ang[j, 1][None] * rjx[2] - ang[j, 2][None] * rjx[1])
-                        vjy = (lin[j, 1][None]
-                               + ang[j, 2][None] * rjx[0] - ang[j, 0][None] * rjx[2])
-                        vjz = (lin[j, 2][None]
-                               + ang[j, 0][None] * rjx[1] - ang[j, 1][None] * rjx[0])
                         mu = fric[:, None] * fric[j][None]
                     else:
-                        m = j - N
-                        vjx, vjy, vjz = envv[m, 0], envv[m, 1], envv[m, 2]
-                        mu = fric[:, None] * envf[m]
-                    rvx, rvy, rvz = vx - vjx, vy - vjy, vz - vjz
-                    v_n = rvx * nx + rvy * ny + rvz * nz
-                    jn = jnp.where(contact, jnp.maximum((-v_n + bias) / kn, 0.0), 0.0)
+                        rjx = None
+                        mu = fric[:, None] * envf[j - N]
 
+                    def rel_vel(lv, av, ext_j):
+                        """relative contact-point velocity of i vs j for one
+                        channel; ext_j = env collider velocity (real channel
+                        only; pseudo env velocity is zero)."""
+                        vx = (lv[:, 0][:, None] + av[:, 1][:, None] * rix[2]
+                              - av[:, 2][:, None] * rix[1])
+                        vy = (lv[:, 1][:, None] + av[:, 2][:, None] * rix[0]
+                              - av[:, 0][:, None] * rix[2])
+                        vz = (lv[:, 2][:, None] + av[:, 0][:, None] * rix[1]
+                              - av[:, 1][:, None] * rix[0])
+                        if j < N:
+                            vjx = (lv[j, 0][None] + av[j, 1][None] * rjx[2]
+                                   - av[j, 2][None] * rjx[1])
+                            vjy = (lv[j, 1][None] + av[j, 2][None] * rjx[0]
+                                   - av[j, 0][None] * rjx[2])
+                            vjz = (lv[j, 2][None] + av[j, 0][None] * rjx[1]
+                                   - av[j, 1][None] * rjx[0])
+                        else:
+                            vjx, vjy, vjz = ext_j
+                        return vx - vjx, vy - vjy, vz - vjz
+
+                    def accum(ch, ix, iy, iz):
+                        dlx, dly, dlz, dax, day, daz = acc[ch]
+                        s_i = scale_body * inv_m  # (N, L)
+                        dlx = dlx + jnp.sum(ix, axis=1) * s_i
+                        dly = dly + jnp.sum(iy, axis=1) * s_i
+                        dlz = dlz + jnp.sum(iz, axis=1) * s_i
+                        tqx = jnp.sum(rix[1] * iz - rix[2] * iy, axis=1)
+                        tqy = jnp.sum(rix[2] * ix - rix[0] * iz, axis=1)
+                        tqz = jnp.sum(rix[0] * iy - rix[1] * ix, axis=1)
+                        wx, wy, wz = apply_iI(slice(None), tqx, tqy, tqz)
+                        acc[ch] = [dlx, dly, dlz, dax + wx * scale_body,
+                                   day + wy * scale_body, daz + wz * scale_body]
+                        if j < N:
+                            # reaction on body j (impulse is ON i, so -imp on
+                            # j); j is a static python index -> lists
+                            rl, ra = rx[ch]
+                            s_j = scale_body[j] * inv_m[j]
+                            rl[j][0] = rl[j][0] - jnp.sum(ix, axis=(0, 1)) * s_j
+                            rl[j][1] = rl[j][1] - jnp.sum(iy, axis=(0, 1)) * s_j
+                            rl[j][2] = rl[j][2] - jnp.sum(iz, axis=(0, 1)) * s_j
+                            tjx = -jnp.sum(rjx[1] * iz - rjx[2] * iy, axis=(0, 1))
+                            tjy = -jnp.sum(rjx[2] * ix - rjx[0] * iz, axis=(0, 1))
+                            tjz = -jnp.sum(rjx[0] * iy - rjx[1] * ix, axis=(0, 1))
+                            bx, by, bz = apply_iI(j, tjx, tjy, tjz)
+                            ra[j][0] = ra[j][0] + bx * scale_body[j]
+                            ra[j][1] = ra[j][1] + by * scale_body[j]
+                            ra[j][2] = ra[j][2] + bz * scale_body[j]
+
+                    # real channel: normal impulse against approach only
+                    # (no bias) + under-relaxed cone-clamped friction
+                    m = j - N
+                    rvx, rvy, rvz = rel_vel(
+                        lin, ang,
+                        None if j < N else (envv[m, 0], envv[m, 1], envv[m, 2]))
+                    v_n = rvx * nx + rvy * ny + rvz * nz
+                    jn = jnp.where(contact, jnp.maximum(-v_n / kn, 0.0), 0.0)
                     tx = rvx - v_n * nx
                     ty_ = rvy - v_n * ny
                     tz = rvz - v_n * nz
                     vt = jnp.sqrt(tx * tx + ty_ * ty_ + tz * tz + 1e-18)
-                    jt = jnp.minimum(vt / kn, mu * jn)
+                    jt = jnp.minimum(FRICTION_RELAX * vt / kn, mu * jn)
                     inv_vt = 1.0 / (vt + 1e-9)
-                    ix = jn * nx - jt * tx * inv_vt
-                    iy = jn * ny - jt * ty_ * inv_vt
-                    iz = jn * nz - jt * tz * inv_vt
+                    accum(0, jn * nx - jt * tx * inv_vt,
+                          jn * ny - jt * ty_ * inv_vt,
+                          jn * nz - jt * tz * inv_vt)
 
-                    # accumulate on i
-                    s_i = scale_body * inv_m  # (N, L)
-                    dlx = dlx + jnp.sum(ix, axis=1) * s_i
-                    dly = dly + jnp.sum(iy, axis=1) * s_i
-                    dlz = dlz + jnp.sum(iz, axis=1) * s_i
-                    tqx = jnp.sum(rix[1] * iz - rix[2] * iy, axis=1)
-                    tqy = jnp.sum(rix[2] * ix - rix[0] * iz, axis=1)
-                    tqz = jnp.sum(rix[0] * iy - rix[1] * ix, axis=1)
-                    wx, wy, wz = apply_iI(slice(None), tqx, tqy, tqz)
-                    dax = dax + wx * scale_body
-                    day = day + wy * scale_body
-                    daz = daz + wz * scale_body
+                    # pseudo channel: normal-only, driven by the bias
+                    # against the current pseudo velocities (env colliders
+                    # carry none)
+                    pvx, pvy, pvz = rel_vel(
+                        plin, pang, None if j < N else (0.0, 0.0, 0.0))
+                    p_n = pvx * nx + pvy * ny + pvz * nz
+                    jp = jnp.where(contact,
+                                   jnp.maximum((-p_n + bias) / kn, 0.0), 0.0)
+                    accum(1, jp * nx, jp * ny, jp * nz)
 
-                    if j < N:
-                        # reaction on body j (impulse is ON i, so -imp on j);
-                        # j is a static python index -> list accumulation
-                        sjx = -jnp.sum(ix, axis=(0, 1))  # (L,)
-                        sjy = -jnp.sum(iy, axis=(0, 1))
-                        sjz = -jnp.sum(iz, axis=(0, 1))
-                        s_j = scale_body[j] * inv_m[j]
-                        rl[j][0] = rl[j][0] + sjx * s_j
-                        rl[j][1] = rl[j][1] + sjy * s_j
-                        rl[j][2] = rl[j][2] + sjz * s_j
-                        tjx = -jnp.sum(rjx[1] * iz - rjx[2] * iy, axis=(0, 1))
-                        tjy = -jnp.sum(rjx[2] * ix - rjx[0] * iz, axis=(0, 1))
-                        tjz = -jnp.sum(rjx[0] * iy - rjx[1] * ix, axis=(0, 1))
-                        bx, by, bz = apply_iI(j, tjx, tjy, tjz)
-                        ra[j][0] = ra[j][0] + bx * scale_body[j]
-                        ra[j][1] = ra[j][1] + by * scale_body[j]
-                        ra[j][2] = ra[j][2] + bz * scale_body[j]
-                dlx = dlx + jnp.stack([rl[b][0] for b in range(N)])
-                dly = dly + jnp.stack([rl[b][1] for b in range(N)])
-                dlz = dlz + jnp.stack([rl[b][2] for b in range(N)])
-                dax = dax + jnp.stack([ra[b][0] for b in range(N)])
-                day = day + jnp.stack([ra[b][1] for b in range(N)])
-                daz = daz + jnp.stack([ra[b][2] for b in range(N)])
-                lin = lin + jnp.stack([dlx, dly, dlz], axis=1)
-                ang = ang + jnp.stack([dax, day, daz], axis=1)
-                return (lin, ang)
+                out = []
+                for ch, (lv, av) in enumerate([(lin, ang), (plin, pang)]):
+                    dlx, dly, dlz, dax, day, daz = acc[ch]
+                    rl, ra = rx[ch]
+                    dlx = dlx + jnp.stack([rl[b][0] for b in range(N)])
+                    dly = dly + jnp.stack([rl[b][1] for b in range(N)])
+                    dlz = dlz + jnp.stack([rl[b][2] for b in range(N)])
+                    dax = dax + jnp.stack([ra[b][0] for b in range(N)])
+                    day = day + jnp.stack([ra[b][1] for b in range(N)])
+                    daz = daz + jnp.stack([ra[b][2] for b in range(N)])
+                    out.append(lv + jnp.stack([dlx, dly, dlz], axis=1))
+                    out.append(av + jnp.stack([dax, day, daz], axis=1))
+                return tuple(out)
 
-            lin, ang = jax.lax.fori_loop(0, n_iter, jacobi_iter, (lin, ang))
+            pzero = jnp.zeros_like(lin)
+            lin, ang, plin, pang = jax.lax.fori_loop(
+                0, n_iter, jacobi_iter, (lin, ang, pzero, jnp.zeros_like(ang)))
 
             # ---- damping, static zeroing, integration --------------------
-            lin = lin * (1.0 - linear_damping)
-            ang = ang * (1.0 - angular_damping)
+            lin = lin * lin_keep
+            ang = ang * ang_keep
             dm = (dyn > 0)[:, None]
             lin = jnp.where(dm, lin, 0.0)
             ang = jnp.where(dm, ang, 0.0)
-            pos = pos + jnp.where(dm, lin * dt, 0.0)
-            # dq = [0, ang] * quat ; quat += 0.5*dt*dq; normalize
+            plin = jnp.where(dm, plin, 0.0)
+            pang = jnp.where(dm, pang, 0.0)
+            # positions integrate real + pseudo velocities; only the real
+            # ones persist into the next step (split impulse)
+            pos = pos + jnp.where(dm, (lin + plin) * dt, 0.0)
+            ang_int = ang + pang
+            # dq = [0, ang_int] * quat ; quat += 0.5*dt*dq; normalize
             qw, qx_, qy_, qz_ = quat[:, 0], quat[:, 1], quat[:, 2], quat[:, 3]
-            ox_, oy_, oz_ = ang[:, 0], ang[:, 1], ang[:, 2]
+            ox_, oy_, oz_ = ang_int[:, 0], ang_int[:, 1], ang_int[:, 2]
             dqw = -ox_ * qx_ - oy_ * qy_ - oz_ * qz_
             dqx = ox_ * qw + oy_ * qz_ - oz_ * qy_
             dqy = -ox_ * qz_ + oy_ * qw + oz_ * qx_
