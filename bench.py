@@ -59,6 +59,7 @@ def bench_env_steps():
 
     import os
     fused_default = "1" if jax.default_backend() == "tpu" else "0"
+    runs = []
     if os.environ.get("CATGRASP_BENCH_FUSED", fused_default) == "1":
         # fused Pallas rollout (ops/fused_rollout.py): whole step pipeline
         # VMEM-resident.  Default on TPU since the on-chip trial passed
@@ -67,16 +68,30 @@ def bench_env_steps():
         from catgrasp_tpu.ops.fused_rollout import rollout_fused
 
         @jax.jit
-        def run(st):
+        def run_fused(st):
             return rollout_fused(st, params, lib, env, steps_per_call, dt=cfg.dt)
-    else:
-        @jax.jit
-        def run(st):
-            return jax.vmap(lambda s, p: engine.rollout(
-                s, p, lib, env, steps_per_call, dt=cfg.dt))(st, params)
 
-    states = run(states)
-    jax.block_until_ready(states)
+        runs.append(run_fused)
+
+    @jax.jit
+    def run_xla(st):
+        return jax.vmap(lambda s, p: engine.rollout(
+            s, p, lib, env, steps_per_call, dt=cfg.dt))(st, params)
+
+    runs.append(run_xla)
+
+    run = None
+    last_err = None
+    for cand in runs:  # ladder: fused kernel first, XLA engine fallback
+        try:
+            states = cand(states)
+            jax.block_until_ready(states)
+            run = cand
+            break
+        except Exception as e:  # noqa: BLE001 — Mosaic compile/VMEM risk
+            last_err = e
+    if run is None:
+        raise last_err
     _readback(states.pos)
 
     n_calls = 4
