@@ -90,6 +90,10 @@ def main():
     ap.add_argument("--write", action="store_true",
                     help="re-score ALL poses and rewrite the DB in place "
                          "(adds score_version from env_semantic.TRY_GRASP_VERSION)")
+    ap.add_argument("--rebalance", action="store_true",
+                    help="with --write: also rebuild the sibling "
+                         "*_balanced_grasp.npz (bin membership follows the "
+                         "scores, pipelines/generate_grasp.balance_score_bins)")
     ap.add_argument("--noise_floor", action="store_true",
                     help="also re-score the subsample a second time with a "
                          "different seed: same-physics MC correlation")
@@ -123,10 +127,23 @@ def main():
     if args.write:
         d["scores"] = fresh.astype(np.float32)
         d["score_version"] = np.int32(TRY_GRASP_VERSION)
-        tmp = args.db + ".tmp"
-        np.savez(tmp, **d)
+        tmp = args.db[:-len(".npz")] + ".tmp.npz"  # np.savez appends .npz
+        np.savez_compressed(tmp, **d)
         os.replace(tmp, args.db)
         row["written"] = True
+        if args.rebalance:
+            from catgrasp_tpu.config.loader import load_config
+            from catgrasp_tpu.pipelines.generate_grasp import balance_score_bins
+            cfg = load_config("config_grasp.yml")
+            bins = np.array(cfg["classes"])
+            bal = balance_score_bins(d, bins,
+                                     int(cfg.get("max_per_score_bin", 1000)))
+            bal_path = args.db.replace("_complete_grasp", "_balanced_grasp")
+            tmp_b = bal_path[:-len(".npz")] + ".tmp.npz"
+            np.savez_compressed(tmp_b, **bal)
+            os.replace(tmp_b, bal_path)
+            row["rebalanced"] = os.path.basename(bal_path)
+            row["n_balanced"] = int(len(bal["grasp_poses"]))
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "a") as f:
