@@ -42,7 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import transforms as tf
 from ..geom.csg import BOX, CYLINDER, COS30, NONE
 
-TILE_ROWS = 8  # (8, 128) f32 tile = 1024 rays per program
+# (TILE_ROWS, 128) f32 tile = rays per grid program.  8 is the validated
+# default; CATGRASP_RENDER_TILE_ROWS lets an on-chip trial sweep larger
+# tiles (fewer grid programs, better step pipelining) without a code edit.
+TILE_ROWS = int(os.environ.get("CATGRASP_RENDER_TILE_ROWS", "8"))
 LANES = 128
 TILE = TILE_ROWS * LANES
 _KZ = 0.57735  # hex-prism fold constant (geom.csg._sd_hexprism)
