@@ -67,6 +67,28 @@ def test_fused_settles_like_engine(setup):
     assert vf.mean() < max(2 * vr.mean(), 0.05)
 
 
+def test_fused_settle_is_dt_robust(setup):
+    """Split-impulse guard: halving dt (doubling steps over the same
+    horizon) must not change settle statistics.  Under the r4
+    bias-in-velocity Baumgarte the bias scaled with 1/dt and injected
+    momentum every step, so dt halving visibly pumped the pile (the same
+    mechanism the engine self-parity dt sweep flagged at KS 0.58); in the
+    pseudo-velocity channel the positional correction is dt-invariant."""
+    cfg, lib, env, states, params = setup
+    a = rollout_fused(states, params, lib, env, 120, dt=cfg.dt,
+                      interpret=True)
+    b = rollout_fused(states, params, lib, env, 240, dt=cfg.dt / 2,
+                      interpret=True)
+    act = np.asarray(a.active)
+    za = np.asarray(a.pos[..., 2])[act]
+    zb = np.asarray(b.pos[..., 2])[act]
+    assert abs(za.mean() - zb.mean()) < 0.01, (
+        f"settle height drifted under dt halving: {za.mean():.4f} vs "
+        f"{zb.mean():.4f}")
+    vb = np.linalg.norm(np.asarray(b.linvel), axis=-1)[act]
+    assert vb.mean() < 0.1, f"pile still live at dt/2: {vb.mean():.3f} m/s"
+
+
 def test_fused_static_bodies_do_not_move(setup):
     cfg, lib, env, states, params = setup
     params = params.replace(
