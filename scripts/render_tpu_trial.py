@@ -11,6 +11,7 @@ Prints one JSON line per resolution:
 {"H":..,"W":..,"ok":..,"pallas_frames_per_sec":..,"xla_frames_per_sec":..,
  "max_t_err":..}
 """
+import argparse
 import json
 import os
 import sys
@@ -23,6 +24,13 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modes", default="single,full,batch",
+                    help="comma subset of single(384x512)/full(1544x2064)/"
+                         "batch — lets the TILE_ROWS sweep (env "
+                         "CATGRASP_RENDER_TILE_ROWS, read at import) rerun "
+                         "only the resolutions it needs per process")
+    modes = set(ap.parse_args().modes.split(","))
     from catgrasp_tpu.geom import primitives as prim
     from catgrasp_tpu.geom.csg import make_csg_instance
     from catgrasp_tpu.render import raymarch
@@ -42,7 +50,9 @@ def main():
     cam = jnp.eye(4).at[:3, :3].set(
         jnp.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])).at[2, 3].set(0.7)
 
-    for H, W in [(384, 512), (1544, 2064)]:
+    res = ([(384, 512)] if "single" in modes else []) + \
+          ([(1544, 2064)] if "full" in modes else [])
+    for H, W in res:
         fx = 2257.75 * (W / 2064.0)
         K = jnp.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1.0]])
         out = {"H": H, "W": W, "ok": False}
@@ -92,6 +102,8 @@ def main():
     # batched path at the bench's resolution — full vmap OOMs (8/17 trial),
     # so also trial lax.map chunking (scene_chunk 1 and 2) per march path;
     # the fastest passing config becomes the bench default
+    if "batch" not in modes:
+        return
     B, H, W = 8, 384, 512
     fx = 2257.75 * (W / 2064.0)
     K = jnp.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1.0]])

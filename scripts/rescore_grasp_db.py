@@ -82,7 +82,10 @@ def spearman_np(a, b):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--db", required=True)
+    ap.add_argument("--db", required=True, nargs="+",
+                    help="one or more DBs; same-shape instances share the "
+                         "jit cache, so batching them in one process "
+                         "amortizes the ~90s scorer compile")
     ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--trials", type=int, default=50)
     ap.add_argument("--seed", type=int, default=1234)
@@ -102,10 +105,15 @@ def main():
     from catgrasp_tpu.sim.env_semantic import TRY_GRASP_VERSION
 
     n = None if args.write else args.n
-    d, ids, stored, fresh, dt = rescore(args.db, n=n, trials=args.trials,
+    for db_path in args.db:
+        run_one(args, db_path, n, TRY_GRASP_VERSION)
+
+
+def run_one(args, db_path, n, TRY_GRASP_VERSION):
+    d, ids, stored, fresh, dt = rescore(db_path, n=n, trials=args.trials,
                                         seed=args.seed)
     row = {
-        "db": args.db, "n": int(len(ids)), "trials": args.trials,
+        "db": db_path, "n": int(len(ids)), "trials": args.trials,
         "score_version_new": int(TRY_GRASP_VERSION),
         "stored_mean": round(float(stored.mean()), 4),
         "fresh_mean": round(float(fresh.mean()), 4),
@@ -118,7 +126,7 @@ def main():
         "wall_s": round(dt, 1),
     }
     if args.noise_floor:
-        _, _, _, fresh2, _ = rescore(args.db, n=n, trials=args.trials,
+        _, _, _, fresh2, _ = rescore(db_path, n=n, trials=args.trials,
                                      seed=args.seed + 777)
         row["noise_floor_spearman"] = round(spearman_np(fresh, fresh2), 4)
         row["noise_floor_mean_abs_diff"] = round(
@@ -127,9 +135,9 @@ def main():
     if args.write:
         d["scores"] = fresh.astype(np.float32)
         d["score_version"] = np.int32(TRY_GRASP_VERSION)
-        tmp = args.db[:-len(".npz")] + ".tmp.npz"  # np.savez appends .npz
+        tmp = db_path[:-len(".npz")] + ".tmp.npz"  # np.savez appends .npz
         np.savez_compressed(tmp, **d)
-        os.replace(tmp, args.db)
+        os.replace(tmp, db_path)
         row["written"] = True
         if args.rebalance:
             from catgrasp_tpu.config.loader import load_config
@@ -138,7 +146,7 @@ def main():
             bins = np.array(cfg["classes"])
             bal = balance_score_bins(d, bins,
                                      int(cfg.get("max_per_score_bin", 1000)))
-            bal_path = args.db.replace("_complete_grasp", "_balanced_grasp")
+            bal_path = db_path.replace("_complete_grasp", "_balanced_grasp")
             tmp_b = bal_path[:-len(".npz")] + ".tmp.npz"
             np.savez_compressed(tmp_b, **bal)
             os.replace(tmp_b, bal_path)
